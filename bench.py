@@ -1,0 +1,89 @@
+"""Benchmark: flagship DCN-v2 + in-batch pairwise training throughput.
+
+Measures steady-state examples/s/chip of the full training step (sharded
+embedding lookup -> SENET + DCN-mix + deep tower -> joint pointwise +
+pairwise loss -> dense Adam + sparse Adagrad update) on the available
+device (TPU under the driver; CPU if forced), matching BASELINE.json's
+metric "examples/s/chip (DCN-v2 + in-batch pairwise, Criteo)".
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "examples/s/chip",
+     "vs_baseline": N}
+
+``vs_baseline`` is the ratio against the TF2-CPU reference throughput
+recorded in BASELINE_MEASURED.json (measured once with the reference
+library's own layers/losses; target is >= 3.0 per BASELINE.json).  If no
+measured baseline exists, vs_baseline is null.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+STEPS_WARMUP = 3
+STEPS_MEASURE = int(os.environ.get("BENCH_STEPS", 20))
+
+
+def main():
+    import jax
+    from rec_now_tpu.models import DCNv2Model, FeatureConfig
+    from rec_now_tpu.parallel import make_mesh
+    from rec_now_tpu.training import SyntheticCriteo, Trainer, TrainerConfig
+
+    num_devices = len(jax.devices())
+    mesh = make_mesh(num_devices)
+    fc = FeatureConfig(num_dense=13, num_sparse=26,
+                       rows_per_field=100_000, embedding_dim=16)
+    trainer = Trainer(
+        DCNv2Model(deep_dims=(256, 128), dcn_sub_dim=16, dcn_layers=2,
+                   dcn_experts=2),
+        fc,
+        TrainerConfig(pointwise_weight=1.0, pairwise_weight=0.5,
+                      click_occurance_power=-0.5),
+        mesh=mesh)
+    data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
+
+    batches = [trainer.put(b) for b in data.batches(BATCH, 4, seed=1)]
+    state = trainer.init(jax.random.PRNGKey(0), data.sample(
+        BATCH, __import__("numpy").random.RandomState(0)))
+
+    for i in range(STEPS_WARMUP):
+        state, metrics = trainer.train_step(state, *batches[i % len(batches)])
+    jax.block_until_ready(state.table.table)
+
+    t0 = time.perf_counter()
+    for i in range(STEPS_MEASURE):
+        state, metrics = trainer.train_step(state, *batches[i % len(batches)])
+    jax.block_until_ready(state.table.table)
+    dt = (time.perf_counter() - t0) / STEPS_MEASURE
+
+    examples_per_sec = BATCH / dt
+    per_chip = examples_per_sec / num_devices
+
+    vs_baseline = None
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BASELINE_MEASURED.json")
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            ref = json.load(f)
+        ref_eps = ref.get("tf2_cpu_examples_per_sec")
+        if ref_eps:
+            vs_baseline = per_chip / ref_eps
+
+    print(json.dumps({
+        "metric": "examples/s/chip (DCN-v2 + in-batch pairwise, Criteo)",
+        "value": round(per_chip, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+    print(f"# devices={num_devices} batch={BATCH} step={dt*1e3:.2f}ms "
+          f"loss={float(metrics['loss']):.4f} "
+          f"pairwise={float(metrics.get('pairwise', float('nan'))):.4f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

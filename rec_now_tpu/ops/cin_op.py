@@ -53,8 +53,9 @@ def cin_contract(x0: jnp.ndarray,
                  weight: jnp.ndarray,
                  use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """One CIN hidden layer; auto-dispatch Pallas kernel on TPU."""
+    import jax
     if use_pallas is None:
-        use_pallas = False  # flipped on by ops.pallas once kernels land
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from rec_now_tpu.ops.pallas.cin_kernel import cin_pallas
         return cin_pallas(x0, prev, weight)

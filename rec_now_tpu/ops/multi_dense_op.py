@@ -64,7 +64,7 @@ def multi_dense_apply(inputs: jnp.ndarray,
     if inputs.ndim == 2:
         inputs = inputs[None, :, :]
     if use_pallas is None:
-        use_pallas = False  # flipped on by ops.pallas once kernels land
+        use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
         from rec_now_tpu.ops.pallas.multi_dense_kernel import (
             multi_dense_pallas)

@@ -1,0 +1,120 @@
+"""CLI training entry point.
+
+New scope relative to the reference (no CLI — SURVEY.md §2.4).
+
+Usage:
+    python -m rec_now_tpu.train --model dcnv2 --steps 1000 \
+        --batch-size 8192 --pairwise-weight 0.5 --eval-batches 8 \
+        --checkpoint-dir /tmp/ckpt
+
+Models: fm | dcnv2 | xdeepfm | multitask (the four benchmark families).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_model(name: str):
+    from rec_now_tpu.models import (FMModel, DCNv2Model, XDeepFMModel,
+                                    MultiTaskModel)
+    if name == "fm":
+        return FMModel(), 1
+    if name == "dcnv2":
+        return DCNv2Model(), 1
+    if name == "xdeepfm":
+        return XDeepFMModel(), 1
+    if name == "multitask":
+        return MultiTaskModel(num_task=2), 2
+    raise SystemExit(f"unknown model {name!r}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", default="dcnv2",
+                   choices=["fm", "dcnv2", "xdeepfm", "multitask"])
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--rows-per-field", type=int, default=100_000)
+    p.add_argument("--embedding-dim", type=int, default=16)
+    p.add_argument("--dense-lr", type=float, default=1e-3)
+    p.add_argument("--sparse-lr", type=float, default=0.05)
+    p.add_argument("--pointwise-weight", type=float, default=1.0)
+    p.add_argument("--pairwise-weight", type=float, default=0.0)
+    p.add_argument("--listwise-weight", type=float, default=0.0)
+    p.add_argument("--occurance-power", type=float, default=0.0)
+    p.add_argument("--eval-batches", type=int, default=4)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="eval cadence in steps (0 = only at the end)")
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=50)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    import jax
+    from rec_now_tpu.models import FeatureConfig
+    from rec_now_tpu.parallel import make_mesh
+    from rec_now_tpu.training import (SyntheticCriteo, Trainer,
+                                      TrainerConfig)
+
+    model, num_tasks = build_model(args.model)
+    fc = FeatureConfig(rows_per_field=args.rows_per_field,
+                       embedding_dim=args.embedding_dim)
+    cfg = TrainerConfig(
+        pointwise_weight=args.pointwise_weight,
+        pairwise_weight=args.pairwise_weight,
+        listwise_weight=args.listwise_weight,
+        click_occurance_power=args.occurance_power,
+        dense_lr=args.dense_lr, sparse_lr=args.sparse_lr,
+        num_tasks=num_tasks)
+    mesh = make_mesh()
+    trainer = Trainer(model, fc, cfg, mesh=mesh)
+    data = SyntheticCriteo(rows_per_field=args.rows_per_field,
+                           seed=args.seed)
+
+    ckpt = None
+    if args.checkpoint_dir:
+        from rec_now_tpu.training.checkpoint import CheckpointManager
+        ckpt = CheckpointManager(args.checkpoint_dir)
+
+    batches = data.batches(args.batch_size, args.steps, seed=args.seed + 1)
+    first = next(data.batches(args.batch_size, 1, seed=args.seed + 1))
+    state = trainer.init(jax.random.PRNGKey(args.seed), first)
+
+    t0 = time.perf_counter()
+    for i, batch in enumerate(batches):
+        state, metrics = trainer.train_step(state, *trainer.put(batch))
+        step = i + 1
+        if args.log_every and step % args.log_every == 0:
+            jax.block_until_ready(metrics["loss"])
+            eps = args.batch_size * step / (time.perf_counter() - t0)
+            line = {k: round(float(v), 5) for k, v in metrics.items()}
+            line.update(step=step, examples_per_sec=round(eps, 1))
+            print(json.dumps(line), flush=True)
+        if args.eval_every and step % args.eval_every == 0:
+            res = trainer.evaluate(
+                state, data.batches(args.batch_size, args.eval_batches,
+                                    seed=args.seed + 999))
+            print(json.dumps({"step": step, "eval": res}), flush=True)
+        if ckpt and args.checkpoint_every \
+                and step % args.checkpoint_every == 0:
+            ckpt.save(step, state)
+
+    res = trainer.evaluate(
+        state, data.batches(args.batch_size, args.eval_batches,
+                            seed=args.seed + 999))
+    print(json.dumps({"final_eval": res,
+                      "steps": args.steps,
+                      "model": args.model}), flush=True)
+    if ckpt:
+        ckpt.save(args.steps, state)
+        ckpt.wait()
+        ckpt.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,167 @@
+"""AUC / GAUC evaluation metrics.
+
+New scope relative to the reference (no metrics — SURVEY.md §5); needed
+for the north-star parity measurement (BASELINE.json: "AUC/GAUC parity").
+
+* :func:`binary_auc` — exact batch AUC on device via a rank sort
+  (Mann-Whitney U), O(B log B), jit-able.
+* :func:`batch_gauc` — in-batch grouped AUC with the same fixed-shape
+  (B, B) masked-pair machinery as the pairwise loss: per group,
+  concordant / total (pos, neg) pairs; groups weighted by their pair
+  count.  Matches the GAUC the in-batch pairwise loss optimizes.
+* :class:`StreamingGAUC` — exact corpus-level GAUC on the host: buffers
+  (group, label, score) triples in numpy and computes per-group AUC at
+  the end (groups span batches, which no fixed-shape in-batch statistic
+  can capture).
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def binary_auc(labels: jnp.ndarray, scores: jnp.ndarray,
+               sample_weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Exact ROC AUC via the rank statistic.  Returns 0.5 when degenerate.
+
+    Args:
+        labels: (B,) 0/1.
+        scores: (B,) monotone scores (logits fine).
+        sample_weight: optional (B,) weights.
+
+    Returns:
+        scalar AUC in [0, 1].
+    """
+    labels = jnp.reshape(labels, (-1,)).astype(jnp.float32)
+    scores = jnp.reshape(scores, (-1,))
+    if sample_weight is None:
+        sample_weight = jnp.ones_like(labels)
+    w = jnp.reshape(sample_weight, (-1,)).astype(jnp.float32)
+
+    import jax
+
+    order = jnp.argsort(scores)
+    sorted_labels = labels[order]
+    sorted_w = w[order]
+    sorted_scores = scores[order]
+    n = sorted_scores.shape[0]
+    idx = jnp.arange(n)
+
+    neg_w = sorted_w * (1.0 - sorted_labels)
+    cum_neg = jnp.cumsum(neg_w)                        # inclusive
+    cum_neg_before = cum_neg - neg_w
+
+    # tie-group extents per element (ties share avg rank -> each positive
+    # counts all strictly-lower negative weight plus half its tie group's
+    # negative weight)
+    same_prev = jnp.concatenate(
+        [jnp.zeros((1,), bool), sorted_scores[1:] == sorted_scores[:-1]])
+    start = jax.lax.cummax(jnp.where(same_prev, 0, idx))
+    same_next = jnp.concatenate(
+        [sorted_scores[1:] == sorted_scores[:-1], jnp.zeros((1,), bool)])
+    end = jnp.flip(jax.lax.cummin(
+        jnp.flip(jnp.where(same_next, n - 1, idx))))
+
+    neg_below_group = cum_neg_before[start]
+    group_tied_neg = cum_neg[end] - neg_below_group
+    u = jnp.sum(sorted_w * sorted_labels
+                * (neg_below_group + 0.5 * group_tied_neg))
+    pos_w = jnp.sum(w * labels)
+    neg_w_total = jnp.sum(w * (1.0 - labels))
+    denom = pos_w * neg_w_total
+    return jnp.where(denom > 0, u / jnp.where(denom > 0, denom, 1.0), 0.5)
+
+
+def batch_gauc(labels: jnp.ndarray, scores: jnp.ndarray,
+               group_ids: jnp.ndarray) -> jnp.ndarray:
+    """In-batch grouped AUC via fixed-shape (B, B) pair statistics.
+
+    GAUC = sum_g pairs_g * AUC_g / sum_g pairs_g, computed without any
+    dynamic grouping: concordant(i, j) over same-group (pos_i, neg_j)
+    pairs, ties counted half.
+
+    Returns 0.5 when the batch has no valid (pos, neg) same-group pair.
+    """
+    labels = jnp.reshape(labels, (-1,)).astype(jnp.float32)
+    scores = jnp.reshape(scores, (-1,))
+    g = jnp.reshape(group_ids, (-1,))
+
+    same = (g[:, None] == g[None, :])
+    pos_neg = (labels[:, None] > labels[None, :])
+    pair = jnp.logical_and(same, pos_neg).astype(jnp.float32)  # (B, B)
+    s_i = scores[:, None]
+    s_j = scores[None, :]
+    concordant = (s_i > s_j).astype(jnp.float32) \
+        + 0.5 * (s_i == s_j).astype(jnp.float32)
+    total = jnp.sum(pair)
+    win = jnp.sum(pair * concordant)
+    return jnp.where(total > 0, win / jnp.where(total > 0, total, 1.0), 0.5)
+
+
+class StreamingGAUC:
+    """Host-side exact GAUC over an eval stream.
+
+    Accumulates (group, label, score) and computes, at ``result()``,
+    the impression-weighted mean of per-group AUCs over groups having
+    both classes — the standard production GAUC definition.
+    """
+
+    def __init__(self, weight_by: str = "pairs"):
+        if weight_by not in ("pairs", "impressions"):
+            raise ValueError(weight_by)
+        self.weight_by = weight_by
+        self._groups: List[np.ndarray] = []
+        self._labels: List[np.ndarray] = []
+        self._scores: List[np.ndarray] = []
+
+    def update(self, group_ids, labels, scores):
+        """Buffer one batch (accepts numpy or jax arrays)."""
+        self._groups.append(np.asarray(group_ids).reshape(-1))
+        self._labels.append(np.asarray(labels).reshape(-1))
+        self._scores.append(np.asarray(scores).reshape(-1))
+
+    @staticmethod
+    def _auc(labels: np.ndarray, scores: np.ndarray) -> float:
+        order = np.argsort(scores)
+        ranks = np.empty_like(order, dtype=np.float64)
+        ranks[order] = np.arange(1, len(scores) + 1)
+        # average ranks over ties
+        sorted_scores = scores[order]
+        _, inv, counts = np.unique(sorted_scores, return_inverse=True,
+                                   return_counts=True)
+        cum = np.cumsum(counts)
+        avg = (cum - (counts - 1) / 2.0)
+        ranks[order] = avg[inv]
+        n_pos = labels.sum()
+        n_neg = len(labels) - n_pos
+        if n_pos == 0 or n_neg == 0:
+            return float("nan")
+        u = ranks[labels > 0].sum() - n_pos * (n_pos + 1) / 2.0
+        return float(u / (n_pos * n_neg))
+
+    def result(self) -> Dict[str, float]:
+        """Compute {'gauc', 'auc', 'num_groups'} over everything buffered."""
+        g = np.concatenate(self._groups)
+        y = np.concatenate(self._labels)
+        s = np.concatenate(self._scores)
+        auc_all = self._auc(y, s)
+        total_w = 0.0
+        acc = 0.0
+        num_groups = 0
+        for gid in np.unique(g):
+            m = g == gid
+            yl, sl = y[m], s[m]
+            n_pos = yl.sum()
+            n_neg = len(yl) - n_pos
+            if n_pos == 0 or n_neg == 0:
+                continue
+            w = (n_pos * n_neg if self.weight_by == "pairs"
+                 else len(yl))
+            acc += w * self._auc(yl, sl)
+            total_w += w
+            num_groups += 1
+        gauc = float(acc / total_w) if total_w > 0 else float("nan")
+        return {"gauc": gauc, "auc": float(auc_all),
+                "num_groups": float(num_groups)}

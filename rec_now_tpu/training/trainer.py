@@ -1,0 +1,273 @@
+"""End-to-end training: lookup -> interaction -> heads -> joint loss ->
+sparse + dense optimizer update, as one jitted, donated, mesh-aware step.
+
+New scope relative to the reference (no trainer — SURVEY.md §2.4); this
+is the subsystem the external "Numerous" PS framework provided.
+
+TPU-native structure of one step (BASELINE.json's target pipeline):
+
+1. ids are offset into the shared table's id space (host-free, on
+   device) and gathered through the (sharded) embedding table — the only
+   cross-chip communication besides the dense-grad psum;
+2. the model and losses run data-parallel; under jit with sharded batch
+   inputs XLA auto-inserts the dense-gradient psum;
+3. in-batch pairwise/listwise losses are computed *per data shard*
+   inside ``shard_map`` (a mini-batch's pair structure is local by
+   construction — same semantics as the reference running per PS
+   worker) and reduced as global pair-weighted means via ``psum``;
+4. dense params update with optax Adam; embedding rows update with the
+   sparse row-wise Adagrad (rows-touched-only);
+5. the whole step donates its state: tables update in place in HBM.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rec_now_tpu.embedding.sharded import (ShardedEmbeddingTable,
+                                           ShardedTableState)
+from rec_now_tpu.losses.pairwise import pairwise_loss, bpr_loss_func
+from rec_now_tpu.losses.listwise import (
+    to_listwise_sample, listwise_loss_via_softmax_cross_entropy_with_logits)
+from rec_now_tpu.losses.pointwise import sigmoid_cross_entropy_with_logits
+from rec_now_tpu.models.feature_config import FeatureConfig
+from rec_now_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from rec_now_tpu.training.data import Batch
+from rec_now_tpu.training.metrics import StreamingGAUC
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Losses + optimization hyper-parameters."""
+    pointwise_weight: float = 1.0
+    pairwise_weight: float = 0.0
+    listwise_weight: float = 0.0
+    click_occurance_power: float = 0.0
+    pairwise_factor: float = 1.0
+    dense_lr: float = 1e-3
+    sparse_lr: float = 0.05
+    num_tasks: int = 1          # >1: multi-task (CTR + CVR) heads
+
+
+class TrainState(NamedTuple):
+    """Everything a step mutates (donated into the jitted step)."""
+    params: Any
+    opt_state: Any
+    table: ShardedTableState
+    step: jnp.ndarray
+
+
+class Trainer:
+    """Wires a model family to the embedding engine and loss stack.
+
+    Example:
+        trainer = Trainer(model, FeatureConfig(), TrainerConfig(
+            pairwise_weight=1.0))
+        state = trainer.init(jax.random.PRNGKey(0), example_batch)
+        for batch in data:
+            state, metrics = trainer.train_step(state, *trainer.put(batch))
+    """
+
+    def __init__(self, model, feature_config: FeatureConfig,
+                 config: TrainerConfig,
+                 mesh: Optional[Mesh] = None):
+        self.model = model
+        self.fc = feature_config
+        self.cfg = config
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.table = ShardedEmbeddingTable(
+            vocab_size=feature_config.total_rows,
+            dim=feature_config.embedding_dim, mesh=self.mesh)
+        self.tx = optax.adam(config.dense_lr)
+        self._train_step = None
+        self._eval_step = None
+
+    # -- placement ---------------------------------------------------------
+    def put(self, batch: Batch) -> Tuple:
+        """Device-put a host batch with batch-axis sharding."""
+        def shard(x, ndim):
+            spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+            return jax.device_put(jnp.asarray(x),
+                                  NamedSharding(self.mesh, spec))
+        return (shard(batch.dense, 2), shard(batch.sparse_ids, 2),
+                shard(batch.labels, 1), shard(batch.group_ids, 1),
+                shard(batch.cvr_labels, 1))
+
+    # -- init --------------------------------------------------------------
+    def init(self, key: jax.Array, batch: Batch) -> TrainState:
+        """Initialize params, optimizer and the sharded table."""
+        k_model, k_table = jax.random.split(key)
+        dense, ids, labels, groups, cvr = self.put(batch)
+        emb_shape = ids.shape + (self.fc.embedding_dim,)
+        dummy_emb = jnp.zeros(emb_shape, jnp.float32)
+        params = self.model.init(k_model, dense, dummy_emb)
+        opt_state = self.tx.init(params)
+        # dense params/opt state are replicated over the mesh explicitly
+        # so their shardings survive checkpoint round-trips
+        replicated = NamedSharding(self.mesh, P())
+        params = jax.device_put(params, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
+        table_state = self.table.init(k_table)
+        return TrainState(params=params, opt_state=opt_state,
+                          table=table_state,
+                          step=jax.device_put(jnp.zeros((), jnp.int32),
+                                              replicated))
+
+    # -- losses ------------------------------------------------------------
+    def _ranking_losses(self, logits, labels, groups):
+        """Per-data-shard pairwise + listwise losses, globally reduced.
+
+        Inside shard_map when the mesh has >1 device: each shard builds
+        its local (b, b) pair structure (in-batch semantics stay local,
+        like the reference per worker) and the scalars combine as
+        pair-count-weighted global means.
+        """
+        cfg = self.cfg
+
+        def local(logits, labels, groups, axis_name=None):
+            out = {}
+            if cfg.pairwise_weight != 0.0:
+                pl_sum, n_pair = pairwise_loss(
+                    logits, labels, groups,
+                    pairloss_func=functools.partial(
+                        bpr_loss_func, factor=cfg.pairwise_factor,
+                        reduce_mean=False),
+                    click_occurance_power=cfg.click_occurance_power,
+                    return_num_pair=True)
+                if axis_name:
+                    pl_sum = jax.lax.psum(pl_sum, axis_name)
+                    n_pair = jax.lax.psum(n_pair, axis_name)
+                out["pairwise"] = pl_sum / (n_pair + 1e-10)
+            if cfg.listwise_weight != 0.0:
+                lw = to_listwise_sample(groups, labels, logits)
+                row_losses = \
+                    listwise_loss_via_softmax_cross_entropy_with_logits(
+                        lw.labels, lw.logits, do_reduce=False,
+                        row_valid=lw.row_valid)
+                lsum = jnp.sum(row_losses)
+                lcount = jnp.sum(lw.row_valid.astype(jnp.float32))
+                if axis_name:
+                    lsum = jax.lax.psum(lsum, axis_name)
+                    lcount = jax.lax.psum(lcount, axis_name)
+                out["listwise"] = jnp.where(lcount > 0,
+                                            lsum / jnp.maximum(lcount, 1.0),
+                                            0.0)
+            return out
+
+        if self.mesh.size > 1:
+            @functools.partial(
+                jax.shard_map, mesh=self.mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P())
+            def sharded(lg, lb, gr):
+                return local(lg, lb, gr, axis_name=DATA_AXIS)
+            return sharded(logits, labels, groups)
+        return local(logits, labels, groups)
+
+    def _loss_fn(self, params, emb, dense, labels, groups, cvr):
+        cfg = self.cfg
+        metrics = {}
+        logits = self.model.apply(params, dense, emb)
+        if cfg.num_tasks > 1:
+            task_logits = logits                           # (T, B)
+            logits = task_logits[0]
+            cvr_loss = jnp.mean(sigmoid_cross_entropy_with_logits(
+                cvr, task_logits[1]))
+            metrics["cvr_loss"] = cvr_loss
+        loss = jnp.zeros((), jnp.float32)
+        if cfg.pointwise_weight != 0.0:
+            pw = jnp.mean(sigmoid_cross_entropy_with_logits(labels, logits))
+            metrics["pointwise"] = pw
+            loss = loss + cfg.pointwise_weight * pw
+        ranking = self._ranking_losses(logits, labels, groups)
+        if "pairwise" in ranking:
+            metrics["pairwise"] = ranking["pairwise"]
+            loss = loss + cfg.pairwise_weight * ranking["pairwise"]
+        if "listwise" in ranking:
+            metrics["listwise"] = ranking["listwise"]
+            loss = loss + cfg.listwise_weight * ranking["listwise"]
+        if cfg.num_tasks > 1:
+            loss = loss + metrics["cvr_loss"]
+        metrics["loss"] = loss
+        return loss, (metrics, logits)
+
+    # -- steps -------------------------------------------------------------
+    def _build_train_step(self):
+        fc, table, tx, cfg = self.fc, self.table, self.tx, self.cfg
+
+        def step(state: TrainState, dense, ids, labels, groups, cvr):
+            gids = fc.global_ids(ids)
+            emb = table.lookup(state.table, gids)          # (B, F, D)
+            (loss, (metrics, _)), (gp, gemb) = jax.value_and_grad(
+                self._loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, emb, dense, labels, groups, cvr)
+            updates, opt_state = tx.update(gp, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_table = table.apply_grads(state.table, gids, gemb,
+                                          lr=cfg.sparse_lr)
+            return TrainState(params=params, opt_state=opt_state,
+                              table=new_table,
+                              step=state.step + 1), metrics
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        fc, table = self.fc, self.table
+
+        def step(state: TrainState, dense, ids):
+            gids = fc.global_ids(ids)
+            emb = table.lookup(state.table, gids)
+            logits = self.model.apply(state.params, dense, emb)
+            return logits
+
+        return jax.jit(step)
+
+    def train_step(self, state: TrainState, dense, ids, labels, groups,
+                   cvr) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """One jitted, state-donating optimization step."""
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step(state, dense, ids, labels, groups, cvr)
+
+    def eval_step(self, state: TrainState, dense, ids) -> jnp.ndarray:
+        """Logits for an eval batch (no state mutation)."""
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step(state, dense, ids)
+
+    # -- loops -------------------------------------------------------------
+    def fit(self, state: TrainState, batches,
+            log_every: int = 0,
+            log_fn: Callable[[int, Dict], None] = None
+            ) -> Tuple[TrainState, Dict[str, float]]:
+        """Run the stream of host batches; return final state + metrics."""
+        last = {}
+        for i, batch in enumerate(batches):
+            state, metrics = self.train_step(state, *self.put(batch))
+            if log_every and (i + 1) % log_every == 0:
+                last = {k: float(v) for k, v in metrics.items()}
+                if log_fn:
+                    log_fn(i + 1, last)
+        if not last:
+            last = {k: float(v) for k, v in metrics.items()}
+        return state, last
+
+    def evaluate(self, state: TrainState, batches) -> Dict[str, float]:
+        """Exact AUC/GAUC over an eval stream (host-side accumulation)."""
+        acc = StreamingGAUC()
+        for batch in batches:
+            dense, ids, labels, groups, cvr = self.put(batch)
+            logits = self.eval_step(state, dense, ids)
+            if logits.ndim == 2:                           # multi-task
+                logits = logits[0]
+            acc.update(np.asarray(batch.group_ids),
+                       np.asarray(batch.labels), np.asarray(logits))
+        return acc.result()

@@ -1,0 +1,61 @@
+"""Tests for the CLI entry point and profiling utilities."""
+import json
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rec_now_tpu.core.profiling import (annotate, guard_finite,
+                                        device_memory_stats)
+
+
+class TestCLI:
+    def test_fm_smoke(self, tmp_path):
+        """The CLI trains a few steps and prints final eval JSON."""
+        out = subprocess.run(
+            [sys.executable, "-m", "rec_now_tpu.train",
+             "--model", "fm", "--steps", "4", "--batch-size", "64",
+             "--rows-per-field", "512", "--embedding-dim", "4",
+             "--log-every", "2", "--eval-batches", "1",
+             "--checkpoint-dir", str(tmp_path / "ckpt"),
+             "--checkpoint-every", "4"],
+            capture_output=True, text=True, timeout=420,
+            env={**__import__("os").environ,
+                 "JAX_PLATFORMS": "cpu",
+                 "PYTHONPATH": "/root/repo:/root/.axon_site"},
+            cwd="/root/repo")
+        assert out.returncode == 0, out.stderr[-2000:]
+        lines = [json.loads(ln) for ln in out.stdout.strip().splitlines()
+                 if ln.startswith("{")]
+        final = [ln for ln in lines if "final_eval" in ln]
+        assert final, out.stdout
+        assert np.isfinite(final[0]["final_eval"]["auc"])
+        assert (tmp_path / "ckpt").exists()
+
+
+class TestProfiling:
+    def test_annotate_passthrough(self):
+        @annotate("my_block")
+        def f(x):
+            return x * 2
+        assert float(f(jnp.array(3.0))) == 6.0
+
+    def test_guard_finite_passthrough(self):
+        x = jnp.array([1.0, 2.0])
+        y = guard_finite(x, "x")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x))
+        # under jit with bad values it must not crash (prints and flows)
+        z = jax.jit(lambda t: guard_finite(t, "t"))(
+            jnp.array([jnp.nan, 1.0]))
+        assert z.shape == (2,)
+
+    def test_guard_disabled(self):
+        x = jnp.array([jnp.inf])
+        assert guard_finite(x, enabled=False) is x
+
+    def test_memory_stats_shape(self):
+        stats = device_memory_stats()
+        assert set(stats) == {"bytes_in_use", "peak_bytes_in_use",
+                              "bytes_limit"}
