@@ -54,6 +54,11 @@ class TrainerConfig:
     dense_lr: float = 1e-3
     sparse_lr: float = 0.05
     num_tasks: int = 1          # >1: multi-task (CTR + CVR) heads
+    # CAN co-action (benchmark config #5): when set, a second sharded
+    # table holds per-item co-action DNN parameters, looked up by this
+    # sparse field's ids and passed to the model as a third input.
+    can_param_field: Optional[int] = None
+    can_dnn_dims: tuple = (16,)
 
 
 class TrainState(NamedTuple):
@@ -62,6 +67,7 @@ class TrainState(NamedTuple):
     opt_state: Any
     table: ShardedTableState
     step: jnp.ndarray
+    can_table: Optional[ShardedTableState] = None
 
 
 class Trainer:
@@ -85,6 +91,17 @@ class Trainer:
         self.table = ShardedEmbeddingTable(
             vocab_size=feature_config.total_rows,
             dim=feature_config.embedding_dim, mesh=self.mesh)
+        self.can_table = None
+        if config.can_param_field is not None:
+            from rec_now_tpu.models.can_dcn_model import CANDCNModel
+            can_dim = CANDCNModel.can_param_size(
+                feature_config.embedding_dim, config.can_dnn_dims)
+            # co-action params multiply embeddings; center the init at
+            # small values (the CAN layer output starts near zero and
+            # the table learns from there)
+            self.can_table = ShardedEmbeddingTable(
+                vocab_size=feature_config.rows_per_field, dim=can_dim,
+                mesh=self.mesh, initializer_scale=0.05)
         self.tx = optax.adam(config.dense_lr)
         self._train_step = None
         self._eval_step = None
@@ -103,11 +120,16 @@ class Trainer:
     # -- init --------------------------------------------------------------
     def init(self, key: jax.Array, batch: Batch) -> TrainState:
         """Initialize params, optimizer and the sharded table."""
-        k_model, k_table = jax.random.split(key)
+        k_model, k_table, k_can = jax.random.split(key, 3)
         dense, ids, labels, groups, cvr = self.put(batch)
         emb_shape = ids.shape + (self.fc.embedding_dim,)
         dummy_emb = jnp.zeros(emb_shape, jnp.float32)
-        params = self.model.init(k_model, dense, dummy_emb)
+        if self.can_table is not None:
+            dummy_can = jnp.zeros((ids.shape[0], self.can_table.dim),
+                                  jnp.float32)
+            params = self.model.init(k_model, dense, dummy_emb, dummy_can)
+        else:
+            params = self.model.init(k_model, dense, dummy_emb)
         opt_state = self.tx.init(params)
         # dense params/opt state are replicated over the mesh explicitly
         # so their shardings survive checkpoint round-trips
@@ -115,10 +137,13 @@ class Trainer:
         params = jax.device_put(params, replicated)
         opt_state = jax.device_put(opt_state, replicated)
         table_state = self.table.init(k_table)
+        can_state = (self.can_table.init(k_can)
+                     if self.can_table is not None else None)
         return TrainState(params=params, opt_state=opt_state,
                           table=table_state,
                           step=jax.device_put(jnp.zeros((), jnp.int32),
-                                              replicated))
+                                              replicated),
+                          can_table=can_state)
 
     # -- losses ------------------------------------------------------------
     def _ranking_losses(self, logits, labels, groups):
@@ -171,10 +196,13 @@ class Trainer:
             return sharded(logits, labels, groups)
         return local(logits, labels, groups)
 
-    def _loss_fn(self, params, emb, dense, labels, groups, cvr):
+    def _loss_fn(self, params, emb, can_emb, dense, labels, groups, cvr):
         cfg = self.cfg
         metrics = {}
-        logits = self.model.apply(params, dense, emb)
+        if can_emb is not None:
+            logits = self.model.apply(params, dense, emb, can_emb)
+        else:
+            logits = self.model.apply(params, dense, emb)
         if cfg.num_tasks > 1:
             task_logits = logits                           # (T, B)
             logits = task_logits[0]
@@ -202,12 +230,27 @@ class Trainer:
     def _build_train_step(self):
         fc, table, tx, cfg = self.fc, self.table, self.tx, self.cfg
 
+        can_table = self.can_table
+
         def step(state: TrainState, dense, ids, labels, groups, cvr):
             gids = fc.global_ids(ids)
             emb = table.lookup(state.table, gids)          # (B, F, D)
-            (loss, (metrics, _)), (gp, gemb) = jax.value_and_grad(
-                self._loss_fn, argnums=(0, 1), has_aux=True)(
-                    state.params, emb, dense, labels, groups, cvr)
+            if can_table is not None:
+                can_ids = ids[:, cfg.can_param_field] % fc.rows_per_field
+                can_emb = can_table.lookup(state.can_table, can_ids)
+                (loss, (metrics, _)), (gp, gemb, gcan) = \
+                    jax.value_and_grad(
+                        self._loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                        state.params, emb, can_emb, dense, labels,
+                        groups, cvr)
+                new_can = can_table.apply_grads(
+                    state.can_table, can_ids, gcan, lr=cfg.sparse_lr)
+            else:
+                (loss, (metrics, _)), (gp, gemb) = jax.value_and_grad(
+                    self._loss_fn, argnums=(0, 1), has_aux=True)(
+                        state.params, emb, None, dense, labels, groups,
+                        cvr)
+                new_can = state.can_table
             updates, opt_state = tx.update(gp, state.opt_state,
                                            state.params)
             params = optax.apply_updates(state.params, updates)
@@ -215,18 +258,24 @@ class Trainer:
                                           lr=cfg.sparse_lr)
             return TrainState(params=params, opt_state=opt_state,
                               table=new_table,
-                              step=state.step + 1), metrics
+                              step=state.step + 1,
+                              can_table=new_can), metrics
 
         return jax.jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self):
         fc, table = self.fc, self.table
 
+        can_table, cfg = self.can_table, self.cfg
+
         def step(state: TrainState, dense, ids):
             gids = fc.global_ids(ids)
             emb = table.lookup(state.table, gids)
-            logits = self.model.apply(state.params, dense, emb)
-            return logits
+            if can_table is not None:
+                can_ids = ids[:, cfg.can_param_field] % fc.rows_per_field
+                can_emb = can_table.lookup(state.can_table, can_ids)
+                return self.model.apply(state.params, dense, emb, can_emb)
+            return self.model.apply(state.params, dense, emb)
 
         return jax.jit(step)
 
