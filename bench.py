@@ -46,19 +46,24 @@ def main():
         mesh=mesh)
     data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
 
-    batches = [trainer.put(b) for b in data.batches(BATCH, 4, seed=1)]
+    # the training window runs as ONE on-device lax.scan (production
+    # inner loop); timing forces a scalar fetch, which the remote
+    # runtime cannot elide (block_until_ready on donated buffers is
+    # unreliable over the TPU tunnel).
+    host_batches = list(data.batches(BATCH, STEPS_MEASURE, seed=1))
     state = trainer.init(jax.random.PRNGKey(0), data.sample(
         BATCH, __import__("numpy").random.RandomState(0)))
 
-    for i in range(STEPS_WARMUP):
-        state, metrics = trainer.train_step(state, *batches[i % len(batches)])
-    jax.block_until_ready(state.table.table)
+    # warm up with the same window length so there is exactly one compile
+    state, metrics_seq = trainer.train_many(state, host_batches)
+    float(metrics_seq["loss"][-1])
 
     t0 = time.perf_counter()
-    for i in range(STEPS_MEASURE):
-        state, metrics = trainer.train_step(state, *batches[i % len(batches)])
-    jax.block_until_ready(state.table.table)
+    state, metrics_seq = trainer.train_many(state, host_batches)
+    final_loss = float(metrics_seq["loss"][-1])   # forces completion
     dt = (time.perf_counter() - t0) / STEPS_MEASURE
+    metrics = {k: v[-1] for k, v in metrics_seq.items()}
+    del final_loss
 
     examples_per_sec = BATCH / dt
     per_chip = examples_per_sec / num_devices

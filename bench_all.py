@@ -1,0 +1,96 @@
+"""Benchmark all five BASELINE.json configs; writes BENCH_ALL.json.
+
+Configs:
+  1. FM + pointwise BCE (Criteo-small)
+  2. DCN-v2 (dcn_mix) + SENET, pointwise
+  3. xDeepFM CIN + inner-PNN, in-batch pairwise (GAUC loss)
+  4. MMoE + PLE + STAR multi-task, joint pointwise+listwise
+  5. CAN co-action + DCN-v2, pairwise joint (sharded tables)
+
+Each entry reports steady-state examples/s/chip of the full train step.
+``python bench.py`` remains the single-line flagship bench; this script
+is the wide sweep.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+BATCH = int(os.environ.get("BENCH_BATCH", 8192))
+STEPS = int(os.environ.get("BENCH_STEPS", 15))
+WARMUP = 3
+
+
+def bench_one(name, model, cfg, rows_per_field=100_000):
+    import jax
+    import numpy as np
+    from rec_now_tpu.models import FeatureConfig
+    from rec_now_tpu.parallel import make_mesh
+    from rec_now_tpu.training import SyntheticCriteo, Trainer
+
+    num_devices = len(jax.devices())
+    mesh = make_mesh(num_devices)
+    fc = FeatureConfig(rows_per_field=rows_per_field, embedding_dim=16)
+    trainer = Trainer(model, fc, cfg, mesh=mesh)
+    data = SyntheticCriteo(rows_per_field=rows_per_field,
+                           num_users=50_000)
+    batches = [trainer.put(b) for b in data.batches(BATCH, 4, seed=1)]
+    state = trainer.init(jax.random.PRNGKey(0),
+                         data.sample(BATCH, np.random.RandomState(0)))
+    for i in range(WARMUP):
+        state, metrics = trainer.train_step(state, *batches[i % 4])
+    jax.block_until_ready(state.table.table)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = trainer.train_step(state, *batches[i % 4])
+    jax.block_until_ready(state.table.table)
+    dt = (time.perf_counter() - t0) / STEPS
+    return {
+        "config": name,
+        "examples_per_sec_per_chip": round(BATCH / dt / num_devices, 1),
+        "step_ms": round(dt * 1e3, 3),
+        "loss": round(float(metrics["loss"]), 4),
+    }
+
+
+def main():
+    from rec_now_tpu.models import (FMModel, DCNv2Model, XDeepFMModel,
+                                    MultiTaskModel, CANDCNModel)
+    from rec_now_tpu.training import TrainerConfig
+
+    results = []
+    results.append(bench_one(
+        "1: FM + pointwise BCE",
+        FMModel(), TrainerConfig(pointwise_weight=1.0)))
+    results.append(bench_one(
+        "2: DCN-v2 + SENET pointwise",
+        DCNv2Model(), TrainerConfig(pointwise_weight=1.0)))
+    results.append(bench_one(
+        "3: xDeepFM CIN+iPNN pairwise",
+        XDeepFMModel(),
+        TrainerConfig(pointwise_weight=1.0, pairwise_weight=1.0,
+                      click_occurance_power=-0.5)))
+    results.append(bench_one(
+        "4: MMoE+PLE+STAR multitask + listwise",
+        MultiTaskModel(num_task=2),
+        TrainerConfig(pointwise_weight=1.0, listwise_weight=0.5,
+                      num_tasks=2)))
+    results.append(bench_one(
+        "5: CAN + DCN-v2 pairwise (two sharded tables)",
+        CANDCNModel(),
+        TrainerConfig(pointwise_weight=1.0, pairwise_weight=0.5,
+                      can_param_field=8, can_dnn_dims=(16,))))
+
+    import jax
+    out = {"batch": BATCH, "devices": len(jax.devices()),
+           "results": results}
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_ALL.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

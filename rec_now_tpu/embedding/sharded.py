@@ -51,9 +51,19 @@ from rec_now_tpu.parallel.mesh import DATA_AXIS
 
 
 class ShardedTableState(NamedTuple):
-    """Per-shard table state; leading axis is sharded over the mesh."""
+    """Per-shard table state; leading axis is sharded over the mesh.
+
+    ``accumulator`` is the Adagrad slot (V,); for the Adam optimizer
+    the (V, D) moment slots ``m``/``v`` are populated and a scalar
+    ``count`` drives bias correction (lazy Adam: moments decay only on
+    touched rows, matching TF's sparse Adam behavior for
+    IndexedSlices grads).
+    """
     table: jnp.ndarray        # (V, D) global view, rows mod-sharded
-    accumulator: jnp.ndarray  # (V,)
+    accumulator: jnp.ndarray  # (V,) adagrad slot (zeros under adam)
+    m: Optional[jnp.ndarray] = None      # (V, D) adam first moment
+    v: Optional[jnp.ndarray] = None      # (V, D) adam second moment
+    count: Optional[jnp.ndarray] = None  # () adam step counter
 
 
 class ShardedEmbeddingTable:
@@ -67,7 +77,12 @@ class ShardedEmbeddingTable:
                  axis_name: str = DATA_AXIS,
                  initializer_scale: float = 1e-3,
                  initial_accumulator: float = 0.1,
+                 optimizer: str = "adagrad",
+                 beta1: float = 0.9, beta2: float = 0.999,
+                 eps: float = 1e-7,
                  dtype=jnp.float32):
+        if optimizer not in ("adagrad", "adam"):
+            raise ValueError(f"unknown optimizer {optimizer!r}")
         self.mesh = mesh
         self.axis_name = axis_name
         self.num_shards = mesh.shape[axis_name]
@@ -77,6 +92,8 @@ class ShardedEmbeddingTable:
         self.dim = dim
         self.initializer_scale = initializer_scale
         self.initial_accumulator = initial_accumulator
+        self.optimizer = optimizer
+        self.beta1, self.beta2, self.eps = beta1, beta2, eps
         self.dtype = dtype
 
     # -- shardings ---------------------------------------------------------
@@ -101,6 +118,9 @@ class ShardedEmbeddingTable:
     # -- init --------------------------------------------------------------
     def init(self, key: jax.Array) -> ShardedTableState:
         """Initialize the sharded state (sharding-constrained under jit)."""
+        adam = self.optimizer == "adam"
+        repl = NamedSharding(self.mesh, P())
+
         def _init(key):
             table = jax.random.uniform(
                 key, (self.vocab_size, self.dim), self.dtype,
@@ -110,10 +130,24 @@ class ShardedEmbeddingTable:
             table = jax.lax.with_sharding_constraint(
                 table, self.table_sharding)
             acc = jax.lax.with_sharding_constraint(acc, self.acc_sharding)
+            if adam:
+                m = jax.lax.with_sharding_constraint(
+                    jnp.zeros((self.vocab_size, self.dim), self.dtype),
+                    self.table_sharding)
+                v = jax.lax.with_sharding_constraint(
+                    jnp.zeros((self.vocab_size, self.dim), self.dtype),
+                    self.table_sharding)
+                return ShardedTableState(table=table, accumulator=acc,
+                                         m=m, v=v,
+                                         count=jnp.zeros((), jnp.int32))
             return ShardedTableState(table=table, accumulator=acc)
-        return jax.jit(_init, out_shardings=(
-            ShardedTableState(table=self.table_sharding,
-                              accumulator=self.acc_sharding)))(key)
+
+        out_sh = ShardedTableState(
+            table=self.table_sharding, accumulator=self.acc_sharding,
+            m=self.table_sharding if adam else None,
+            v=self.table_sharding if adam else None,
+            count=repl if adam else None)
+        return jax.jit(_init, out_shardings=out_sh)(key)
 
     # -- lookup ------------------------------------------------------------
     def lookup(self, state: ShardedTableState,
@@ -165,8 +199,8 @@ class ShardedEmbeddingTable:
                     ids: jnp.ndarray,
                     grads: jnp.ndarray,
                     lr: float,
-                    valid_mask: Optional[jnp.ndarray] = None
-                    ) -> ShardedTableState:
+                    valid_mask: Optional[jnp.ndarray] = None,
+                    dedup: bool = True) -> ShardedTableState:
         """Row-wise Adagrad on owned rows, from batch-sharded grads.
 
         Args:
@@ -181,6 +215,9 @@ class ShardedEmbeddingTable:
         """
         n = self.num_shards
         axis = self.axis_name
+        if self.optimizer == "adam":
+            return self._apply_grads_adam(state, ids, grads, lr,
+                                          valid_mask, dedup)
 
         @functools.partial(
             shard_map, mesh=self.mesh,
@@ -196,6 +233,25 @@ class ShardedEmbeddingTable:
             mine = owner == my
             local_rows = jnp.where(mine, all_ids // n, 0)
             g = all_grads * mine.astype(all_grads.dtype)[:, None]
+
+            if not dedup:
+                # sort-free per-occurrence Adagrad (classic PS scatter
+                # semantics, deterministic): two scatter passes — first
+                # accumulate all squared-grad contributions, then scale
+                # every occurrence by the fully-updated accumulator.
+                # Avoids the O(N log N) TPU sort of the exact-dedup
+                # path; numerics differ only when a row repeats within
+                # one batch (each occurrence divides by the same
+                # post-batch accumulator instead of the summed grad).
+                big = jnp.int32(2 ** 30)
+                rows = jnp.where(mine, local_rows, big)    # OOB dropped
+                sq = jnp.mean(jnp.square(g), axis=1)
+                new_acc = acc_local.at[rows].add(sq)
+                denom = jnp.sqrt(new_acc[jnp.minimum(
+                    rows, acc_local.shape[0] - 1)])
+                scaled = (lr / denom)[:, None] * g
+                new_table = table_local.at[rows].add(-scaled)
+                return new_table, new_acc
 
             # dedup duplicate rows (sort-based, static shape) so Adagrad
             # sees one accumulated grad per row — mirrors
@@ -238,4 +294,84 @@ class ShardedEmbeddingTable:
                  jnp.zeros((padded, flat_grads.shape[1]), flat_grads.dtype)])
         new_table, new_acc = _update(state.table, state.accumulator,
                                      flat_ids, flat_grads)
-        return ShardedTableState(table=new_table, accumulator=new_acc)
+        return state._replace(table=new_table, accumulator=new_acc)
+
+    def _apply_grads_adam(self, state: ShardedTableState,
+                          ids: jnp.ndarray, grads: jnp.ndarray, lr: float,
+                          valid_mask: Optional[jnp.ndarray],
+                          dedup: bool) -> ShardedTableState:
+        """Lazy row-wise sparse Adam on owned rows (dedup only).
+
+        Moments decay only for touched rows (TF sparse-Adam semantics);
+        bias correction uses the global step counter.
+        """
+        del dedup  # adam requires the deduplicated row grads
+        n = self.num_shards
+        axis = self.axis_name
+        b1, b2, eps = self.beta1, self.beta2, self.eps
+
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                      P(axis), P(axis, None), P()),
+            out_specs=(P(axis, None), P(axis, None), P(axis, None)))
+        def _update(table_local, m_local, v_local,
+                    flat_ids_local, flat_grads_local, t):
+            my = jax.lax.axis_index(axis)
+            all_ids = jax.lax.all_gather(flat_ids_local, axis, tiled=True)
+            all_grads = jax.lax.all_gather(flat_grads_local, axis,
+                                           tiled=True)
+            owner = all_ids % n
+            mine = owner == my
+            local_rows = jnp.where(mine, all_ids // n, 0)
+            g = all_grads * mine.astype(all_grads.dtype)[:, None]
+
+            big = jnp.int32(2 ** 30)
+            eff = jnp.where(mine, local_rows, big)
+            order = jnp.argsort(eff)
+            sid = eff[order]
+            sg = g[order]
+            first = jnp.concatenate(
+                [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+            seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+            num = sid.shape[0]
+            row_grad = jax.ops.segment_sum(sg, seg, num_segments=num)
+            rep = jnp.full((num,), big, sid.dtype).at[seg].set(sid)
+            seg_valid = (rep < big).astype(table_local.dtype)
+            safe_rep = jnp.minimum(rep, table_local.shape[0] - 1)
+
+            m_rows = m_local[safe_rep]
+            v_rows = v_local[safe_rep]
+            m_new = b1 * m_rows + (1 - b1) * row_grad
+            v_new = b2 * v_rows + (1 - b2) * jnp.square(row_grad)
+            tf_ = t.astype(table_local.dtype)
+            mhat = m_new / (1 - b1 ** tf_)
+            vhat = v_new / (1 - b2 ** tf_)
+            update = lr * mhat / (jnp.sqrt(vhat) + eps)
+            # OOB sentinel rows are dropped by scatter semantics
+            new_m = m_local.at[rep].set(m_new)
+            new_v = v_local.at[rep].set(v_new)
+            new_table = table_local.at[rep].add(
+                -update * seg_valid[:, None])
+            return new_table, new_m, new_v
+
+        flat_ids = ids.reshape(-1).astype(jnp.int32)
+        flat_grads = grads.reshape(flat_ids.shape[0], -1).astype(self.dtype)
+        if valid_mask is not None:
+            flat_grads = flat_grads * valid_mask.reshape(-1, 1).astype(
+                self.dtype)
+        padded = -flat_ids.shape[0] % n
+        if padded:
+            flat_ids = jnp.concatenate(
+                [flat_ids, jnp.zeros((padded,), flat_ids.dtype)])
+            flat_grads = jnp.concatenate(
+                [flat_grads,
+                 jnp.zeros((padded, flat_grads.shape[1]),
+                           flat_grads.dtype)])
+        new_count = state.count + 1
+        new_table, new_m, new_v = _update(
+            state.table, state.m, state.v, flat_ids, flat_grads,
+            new_count)
+        return ShardedTableState(table=new_table,
+                                 accumulator=state.accumulator,
+                                 m=new_m, v=new_v, count=new_count)

@@ -146,6 +146,7 @@ class PLELayer(nn.Module):
                     gate_input_experts = jnp.concatenate(parts, axis=0)
                 gate = nn.Dense(
                     gate_dim,
+                    kernel_init=get_initializer("glorot_uniform"),
                     name=(f"ple_gate_{layer_idx}/task_{names[task_idx]}/"
                           "dense"))(task_inputs[task_idx])  # (B, N)
                 gate = jax.nn.softmax(gate, axis=-1)

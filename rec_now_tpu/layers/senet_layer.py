@@ -55,11 +55,13 @@ class SENETLayer(nn.Module):
             [jnp.mean(x, axis=-1, keepdims=True) for x in inputs],
             axis=-1)                                      # (B, F)
 
+        from rec_now_tpu.core.config import get_initializer
+        kinit = get_initializer(self.kernel_init)
         h = nn.Dense(middle_dim, use_bias=self.use_bias,
-                     name="senet/dense_0")(squeezed)
+                     kernel_init=kinit, name="senet/dense_0")(squeezed)
         h = get_activation(self.activation_inner)(h)
         h = nn.Dense(num_field, use_bias=self.use_bias,
-                     name="senet/dense_1")(h)
+                     kernel_init=kinit, name="senet/dense_1")(h)
         weights = get_activation(self.activation_outer)(h)  # (B, F)
 
         elementwise = weights[:, pos_idx]                 # (B, total_dim)

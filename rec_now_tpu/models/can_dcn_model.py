@@ -68,6 +68,6 @@ class CANDCNModel(nn.Module):
                             num_expert=self.dcn_experts,
                             name="dcn_mix")(x)
         deep = DNNTower(dims=list(self.deep_dims), name="deep")(x)
-        logit = nn.Dense(1, name="head")(
+        logit = nn.Dense(1, kernel_init=nn.initializers.glorot_uniform(), name="head")(
             jnp.concatenate([cross, deep], axis=-1))
         return jnp.squeeze(logit, axis=-1)

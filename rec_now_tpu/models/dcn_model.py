@@ -54,5 +54,5 @@ class DCNv2Model(nn.Module):
                             name="dcn_mix")(x)             # (B, F*D+13)
         deep = DNNTower(dims=list(self.deep_dims), name="deep")(x)
         head = jnp.concatenate([cross, deep], axis=-1)
-        logit = nn.Dense(1, name="head")(head)
+        logit = nn.Dense(1, kernel_init=nn.initializers.glorot_uniform(), name="head")(head)
         return jnp.squeeze(logit, axis=-1)

@@ -28,9 +28,9 @@ class FMModel(nn.Module):
         """
         second_order = FMLayer(name="fm")(sparse_emb)      # (B, 1)
         # first-order: learned weight per embedding element + dense linear
-        first_sparse = nn.Dense(1, name="linear_sparse")(
+        first_sparse = nn.Dense(1, kernel_init=nn.initializers.glorot_uniform(), name="linear_sparse")(
             sparse_emb.reshape(sparse_emb.shape[0], -1))   # (B, 1)
-        first_dense = nn.Dense(1, name="linear_dense")(dense)  # (B, 1)
+        first_dense = nn.Dense(1, kernel_init=nn.initializers.glorot_uniform(), name="linear_dense")(dense)  # (B, 1)
         bias = self.param("bias", nn.initializers.zeros_init(), (1,))
         logit = second_order + first_sparse + first_dense + bias
         return jnp.squeeze(logit, axis=-1)                 # (B,)

@@ -64,6 +64,6 @@ class MultiTaskModel(nn.Module):
                 units=self.tower_dim, num_groups=self.num_domains,
                 activation="relu", name=f"star_tower_{t}")(
                     ple_outs[t], domain_idx)               # (B, tower)
-            logit = nn.Dense(1, name=f"head_{t}")(h)       # (B, 1)
+            logit = nn.Dense(1, kernel_init=nn.initializers.glorot_uniform(), name=f"head_{t}")(h)       # (B, 1)
             logits.append(jnp.squeeze(logit, axis=-1))
         return jnp.stack(logits, axis=0)                   # (T, B)

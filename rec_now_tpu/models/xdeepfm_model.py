@@ -36,5 +36,5 @@ class XDeepFMModel(nn.Module):
         deep = DNNTower(dims=list(self.deep_dims), name="deep")(
             jnp.concatenate([flat, dense], axis=-1))
         head = jnp.concatenate([cin, pnn, deep, dense], axis=-1)
-        logit = nn.Dense(1, name="head")(head)
+        logit = nn.Dense(1, kernel_init=nn.initializers.glorot_uniform(), name="head")(head)
         return jnp.squeeze(logit, axis=-1)

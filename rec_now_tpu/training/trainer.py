@@ -53,6 +53,7 @@ class TrainerConfig:
     pairwise_factor: float = 1.0
     dense_lr: float = 1e-3
     sparse_lr: float = 0.05
+    sparse_optimizer: str = "adagrad"   # "adagrad" | "adam" (lazy, rowwise)
     num_tasks: int = 1          # >1: multi-task (CTR + CVR) heads
     # CAN co-action (benchmark config #5): when set, a second sharded
     # table holds per-item co-action DNN parameters, looked up by this
@@ -90,7 +91,8 @@ class Trainer:
         self.mesh = mesh if mesh is not None else make_mesh()
         self.table = ShardedEmbeddingTable(
             vocab_size=feature_config.total_rows,
-            dim=feature_config.embedding_dim, mesh=self.mesh)
+            dim=feature_config.embedding_dim, mesh=self.mesh,
+            optimizer=config.sparse_optimizer)
         self.can_table = None
         if config.can_param_field is not None:
             from rec_now_tpu.models.can_dcn_model import CANDCNModel
@@ -101,9 +103,11 @@ class Trainer:
             # the table learns from there)
             self.can_table = ShardedEmbeddingTable(
                 vocab_size=feature_config.rows_per_field, dim=can_dim,
-                mesh=self.mesh, initializer_scale=0.05)
+                mesh=self.mesh, initializer_scale=0.05,
+                optimizer=config.sparse_optimizer)
         self.tx = optax.adam(config.dense_lr)
         self._train_step = None
+        self._train_many = None
         self._eval_step = None
 
     # -- placement ---------------------------------------------------------
@@ -227,41 +231,52 @@ class Trainer:
         return loss, (metrics, logits)
 
     # -- steps -------------------------------------------------------------
-    def _build_train_step(self):
+    def _step_body(self, state: TrainState, dense, ids, labels, groups,
+                   cvr):
+        """One optimization step (pure; shared by jit and scan paths)."""
         fc, table, tx, cfg = self.fc, self.table, self.tx, self.cfg
-
         can_table = self.can_table
+        gids = fc.global_ids(ids)
+        emb = table.lookup(state.table, gids)              # (B, F, D)
+        if can_table is not None:
+            can_ids = ids[:, cfg.can_param_field] % fc.rows_per_field
+            can_emb = can_table.lookup(state.can_table, can_ids)
+            (loss, (metrics, _)), (gp, gemb, gcan) = \
+                jax.value_and_grad(
+                    self._loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                    state.params, emb, can_emb, dense, labels,
+                    groups, cvr)
+            new_can = can_table.apply_grads(
+                state.can_table, can_ids, gcan, lr=cfg.sparse_lr)
+        else:
+            (loss, (metrics, _)), (gp, gemb) = jax.value_and_grad(
+                self._loss_fn, argnums=(0, 1), has_aux=True)(
+                    state.params, emb, None, dense, labels, groups,
+                    cvr)
+            new_can = state.can_table
+        updates, opt_state = tx.update(gp, state.opt_state,
+                                       state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_table = table.apply_grads(state.table, gids, gemb,
+                                      lr=cfg.sparse_lr)
+        return TrainState(params=params, opt_state=opt_state,
+                          table=new_table,
+                          step=state.step + 1,
+                          can_table=new_can), metrics
 
-        def step(state: TrainState, dense, ids, labels, groups, cvr):
-            gids = fc.global_ids(ids)
-            emb = table.lookup(state.table, gids)          # (B, F, D)
-            if can_table is not None:
-                can_ids = ids[:, cfg.can_param_field] % fc.rows_per_field
-                can_emb = can_table.lookup(state.can_table, can_ids)
-                (loss, (metrics, _)), (gp, gemb, gcan) = \
-                    jax.value_and_grad(
-                        self._loss_fn, argnums=(0, 1, 2), has_aux=True)(
-                        state.params, emb, can_emb, dense, labels,
-                        groups, cvr)
-                new_can = can_table.apply_grads(
-                    state.can_table, can_ids, gcan, lr=cfg.sparse_lr)
-            else:
-                (loss, (metrics, _)), (gp, gemb) = jax.value_and_grad(
-                    self._loss_fn, argnums=(0, 1), has_aux=True)(
-                        state.params, emb, None, dense, labels, groups,
-                        cvr)
-                new_can = state.can_table
-            updates, opt_state = tx.update(gp, state.opt_state,
-                                           state.params)
-            params = optax.apply_updates(state.params, updates)
-            new_table = table.apply_grads(state.table, gids, gemb,
-                                          lr=cfg.sparse_lr)
-            return TrainState(params=params, opt_state=opt_state,
-                              table=new_table,
-                              step=state.step + 1,
-                              can_table=new_can), metrics
+    def _build_train_step(self):
+        return jax.jit(self._step_body, donate_argnums=(0,))
 
-        return jax.jit(step, donate_argnums=(0,))
+    def _build_train_many(self):
+        def many(state: TrainState, dense_s, ids_s, labels_s, groups_s,
+                 cvr_s):
+            def body(state, xs):
+                state, metrics = self._step_body(state, *xs)
+                return state, metrics
+            state, metrics_seq = jax.lax.scan(
+                body, state, (dense_s, ids_s, labels_s, groups_s, cvr_s))
+            return state, metrics_seq
+        return jax.jit(many, donate_argnums=(0,))
 
     def _build_eval_step(self):
         fc, table = self.fc, self.table
@@ -291,6 +306,34 @@ class Trainer:
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
         return self._eval_step(state, dense, ids)
+
+    def train_many(self, state: TrainState, batches
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Run multiple steps as ONE on-device ``lax.scan``.
+
+        Stacks the host batches to (S, B, ...) device arrays and executes
+        the whole window in a single dispatch — amortizing host/runtime
+        round-trip latency, which dominates when per-step compute is in
+        the millisecond range (the production inner loop).
+
+        Args:
+            state: current train state (donated).
+            batches: list of host :class:`Batch` of identical shape.
+
+        Returns:
+            (final state, metrics stacked over steps).
+        """
+        if self._train_many is None:
+            self._train_many = self._build_train_many()
+        stacked = [np.stack([getattr(b, f) for b in batches])
+                   for f in ("dense", "sparse_ids", "labels", "group_ids",
+                             "cvr_labels")]
+
+        def shard(x):
+            spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+            return jax.device_put(jnp.asarray(x),
+                                  NamedSharding(self.mesh, spec))
+        return self._train_many(state, *[shard(x) for x in stacked])
 
     # -- loops -------------------------------------------------------------
     def fit(self, state: TrainState, batches,

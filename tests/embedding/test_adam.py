@@ -1,0 +1,99 @@
+"""Tests for the row-wise lazy sparse Adam optimizer."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rec_now_tpu.embedding import ShardedEmbeddingTable
+from rec_now_tpu.parallel import make_mesh
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8)
+
+
+class TestSparseAdam:
+    def test_first_step_matches_reference_formula(self, mesh):
+        table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh,
+                                      optimizer="adam")
+        s0 = table.init(KEY)
+        assert s0.m is not None and s0.v is not None
+        ids = jnp.array([3, 10], jnp.int32)
+        g = jnp.array([[1.0, 0, 0, 0], [0, 2.0, 0, 0]])
+        s1 = table.apply_grads(s0, ids, g, lr=0.1)
+        assert int(s1.count) == 1
+        # step 1: mhat = g, vhat = g^2 -> update = lr * g/(|g|+eps)
+        phys = np.asarray(table.physical_row(ids))
+        for k, gi in enumerate(np.asarray(g)):
+            expected = (np.asarray(s0.table)[phys[k]]
+                        - 0.1 * gi / (np.abs(gi) + 1e-7))
+            np.testing.assert_allclose(np.asarray(s1.table)[phys[k]],
+                                       expected, rtol=1e-4, atol=1e-6)
+
+    def test_untouched_rows_and_moments_unchanged(self, mesh):
+        table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh,
+                                      optimizer="adam")
+        s0 = table.init(KEY)
+        ids = jnp.array([5], jnp.int32)
+        g = jnp.ones((1, 4))
+        s1 = table.apply_grads(s0, ids, g, lr=0.1)
+        phys = int(table.physical_row(jnp.array(5)))
+        mask = np.ones(64, bool)
+        mask[phys] = False
+        np.testing.assert_allclose(np.asarray(s1.table)[mask],
+                                   np.asarray(s0.table)[mask])
+        np.testing.assert_allclose(np.asarray(s1.m)[mask], 0.0)
+        assert np.any(np.asarray(s1.m)[phys] != 0)
+
+    def test_duplicates_sum_before_moment_update(self, mesh):
+        table = ShardedEmbeddingTable(vocab_size=64, dim=2, mesh=mesh,
+                                      optimizer="adam")
+        s0 = table.init(KEY)
+        ids = jnp.array([7, 7], jnp.int32)
+        g = jnp.array([[1.0, 0.0], [1.0, 0.0]])
+        s1 = table.apply_grads(s0, ids, g, lr=0.1)
+        phys = int(table.physical_row(jnp.array(7)))
+        # row grad = [2, 0] -> m = 0.1*2 = 0.2
+        np.testing.assert_allclose(np.asarray(s1.m)[phys], [0.2, 0.0],
+                                   rtol=1e-5)
+
+    def test_training_converges(self, mesh):
+        table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh,
+                                      optimizer="adam",
+                                      initializer_scale=0.1)
+        state = table.init(KEY)
+        ids = jnp.arange(16, dtype=jnp.int32)
+        target = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
+
+        @jax.jit
+        def step(state):
+            emb = table.lookup(state, ids)
+            loss, grad = jax.value_and_grad(
+                lambda e: jnp.mean((e - target) ** 2))(emb)
+            return table.apply_grads(state, ids, grad, lr=0.05), loss
+
+        # modest step count: the 8-virtual-device CPU mesh runs on 2
+        # cores and long per-step loops can starve XLA's collective
+        # rendezvous threads (infra flake, not a correctness issue)
+        losses = [float(step(state)[1])]
+        for _ in range(40):
+            state, loss = step(state)
+        assert float(loss) < losses[0] * 0.5
+
+    def test_trainer_integration(self, mesh):
+        from rec_now_tpu.models import FMModel, FeatureConfig
+        from rec_now_tpu.training import (SyntheticCriteo, Trainer,
+                                          TrainerConfig)
+        fc = FeatureConfig(rows_per_field=512, embedding_dim=4)
+        trainer = Trainer(FMModel(), fc,
+                          TrainerConfig(sparse_optimizer="adam",
+                                        sparse_lr=0.01), mesh=mesh)
+        data = SyntheticCriteo(rows_per_field=512, num_users=50)
+        batch = next(data.batches(64, 1))
+        state = trainer.init(jax.random.PRNGKey(0), batch)
+        state, metrics = trainer.train_step(state, *trainer.put(batch))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.table.count) == 1
