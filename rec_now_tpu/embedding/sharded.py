@@ -273,11 +273,17 @@ class ShardedEmbeddingTable:
             seg_valid = (rep < big).astype(table_local.dtype)
 
             sq = jnp.mean(jnp.square(row_grad), axis=1) * seg_valid
-            new_acc = acc_local.at[rep].add(sq)            # OOB dropped
+            # rep is sorted-unique (sentinels at the tail): telling XLA
+            # lets the TPU scatter/gather vectorize instead of
+            # serializing on possible duplicates
+            new_acc = acc_local.at[rep].add(
+                sq, indices_are_sorted=True, unique_indices=True)
             denom = jnp.sqrt(jnp.clip(new_acc, 1e-12)[
                 jnp.minimum(rep, acc_local.shape[0] - 1)])
             scale = (lr / denom)[:, None] * seg_valid[:, None]
-            new_table = table_local.at[rep].add(-scale * row_grad)
+            new_table = table_local.at[rep].add(
+                -scale * row_grad, indices_are_sorted=True,
+                unique_indices=True)
             return new_table, new_acc
 
         flat_ids = ids.reshape(-1).astype(jnp.int32)
@@ -349,10 +355,13 @@ class ShardedEmbeddingTable:
             vhat = v_new / (1 - b2 ** tf_)
             update = lr * mhat / (jnp.sqrt(vhat) + eps)
             # OOB sentinel rows are dropped by scatter semantics
-            new_m = m_local.at[rep].set(m_new)
-            new_v = v_local.at[rep].set(v_new)
+            new_m = m_local.at[rep].set(
+                m_new, indices_are_sorted=True, unique_indices=True)
+            new_v = v_local.at[rep].set(
+                v_new, indices_are_sorted=True, unique_indices=True)
             new_table = table_local.at[rep].add(
-                -update * seg_valid[:, None])
+                -update * seg_valid[:, None], indices_are_sorted=True,
+                unique_indices=True)
             return new_table, new_m, new_v
 
         flat_ids = ids.reshape(-1).astype(jnp.int32)

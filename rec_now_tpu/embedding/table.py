@@ -122,6 +122,8 @@ class EmbeddingTable:
         seg_valid = jnp.zeros((n,), self.dtype).at[seg].set(1.0)
 
         sq = jnp.mean(jnp.square(row_grad), axis=1) * seg_valid  # (N,)
+        # rep rows are unique (deduped); flag for vectorized scatters.
+        # (not sorted: empty tail segments carry rep=0.)
         new_acc = state.accumulator.at[rep].add(sq)
         scale = (lr / jnp.sqrt(new_acc[rep]))[:, None] * seg_valid[:, None]
         new_table = state.table.at[rep].add(-scale * row_grad)

@@ -42,18 +42,29 @@ class SENETLayer(nn.Module):
         Returns:
             (B, total_dim) concatenated reweighted embeddings.
         """
+        # fast path: equal-dim fields as one (B, F, D) tensor — one
+        # fused mean/scale instead of F per-field slices (the common
+        # Criteo layout; the list path remains for unequal dims)
+        stacked = None
         if not isinstance(inputs, (list, tuple)):
-            inputs = [inputs]
-        num_field = len(inputs)
-        pos_idx = np.concatenate(
-            [np.full(int(x.shape[-1]), i, np.int32)
-             for i, x in enumerate(inputs)])              # (total_dim,)
+            if inputs.ndim == 3:
+                stacked = inputs
+            else:
+                inputs = [inputs]
+        if stacked is not None:
+            num_field = stacked.shape[1]
+            pos_idx = None
+            squeezed = jnp.mean(stacked, axis=-1)         # (B, F)
+        else:
+            num_field = len(inputs)
+            pos_idx = np.concatenate(
+                [np.full(int(x.shape[-1]), i, np.int32)
+                 for i, x in enumerate(inputs)])          # (total_dim,)
+            squeezed = jnp.concatenate(
+                [jnp.mean(x, axis=-1, keepdims=True) for x in inputs],
+                axis=-1)                                  # (B, F)
 
         middle_dim = max(int(round(num_field * self.reduction_ratio)), 1)
-
-        squeezed = jnp.concatenate(
-            [jnp.mean(x, axis=-1, keepdims=True) for x in inputs],
-            axis=-1)                                      # (B, F)
 
         from rec_now_tpu.core.config import get_initializer
         kinit = get_initializer(self.kernel_init)
@@ -64,6 +75,9 @@ class SENETLayer(nn.Module):
                      kernel_init=kinit, name="senet/dense_1")(h)
         weights = get_activation(self.activation_outer)(h)  # (B, F)
 
+        if stacked is not None:
+            out = stacked * weights[:, :, None]           # (B, F, D)
+            return out.reshape(out.shape[0], -1)          # (B, F*D)
         elementwise = weights[:, pos_idx]                 # (B, total_dim)
         concat = jnp.concatenate(inputs, axis=-1)         # (B, total_dim)
         return concat * elementwise

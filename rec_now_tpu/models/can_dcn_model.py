@@ -58,9 +58,8 @@ class CANDCNModel(nn.Module):
                            output_combiner="sum",
                            name="can")(history, can_params)  # (B, Dn)
 
-        fields = [sparse_emb[:, i] for i in range(f)]
         flat = SENETLayer(reduction_ratio=self.senet_reduction,
-                          name="senet")(fields)              # (B, F*D)
+                          name="senet")(sparse_emb)          # (B, F*D)
         x = jnp.concatenate([flat, dense, can_out], axis=-1)
 
         cross = DCNMixLayer(dim_sub_space=self.dcn_sub_dim,

@@ -41,9 +41,8 @@ class DCNv2Model(nn.Module):
         """
         b, f, d = sparse_emb.shape
         if self.use_senet:
-            fields = [sparse_emb[:, i] for i in range(f)]
             flat = SENETLayer(reduction_ratio=self.senet_reduction,
-                              name="senet")(fields)        # (B, F*D)
+                              name="senet")(sparse_emb)    # (B, F*D)
         else:
             flat = sparse_emb.reshape(b, f * d)
         x = jnp.concatenate([flat, dense], axis=-1)        # (B, F*D+13)
