@@ -21,7 +21,7 @@ class TestCLI:
              "--log-every", "2", "--eval-batches", "1",
              "--checkpoint-dir", str(tmp_path / "ckpt"),
              "--checkpoint-every", "4"],
-            capture_output=True, text=True, timeout=420,
+            capture_output=True, text=True, timeout=900,
             env={**__import__("os").environ,
                  "JAX_PLATFORMS": "cpu",
                  "PYTHONPATH": "/root/repo:/root/.axon_site"},
