@@ -41,6 +41,11 @@ def main(argv=None):
     p.add_argument("--embedding-dim", type=int, default=16)
     p.add_argument("--dense-lr", type=float, default=1e-3)
     p.add_argument("--sparse-lr", type=float, default=0.05)
+    p.add_argument("--sparse-optimizer", default="adagrad",
+                   choices=["adagrad", "adam"])
+    p.add_argument("--scan-window", type=int, default=0,
+                   help="run this many steps per on-device lax.scan "
+                        "dispatch (0 = one dispatch per step)")
     p.add_argument("--pointwise-weight", type=float, default=1.0)
     p.add_argument("--pairwise-weight", type=float, default=0.0)
     p.add_argument("--listwise-weight", type=float, default=0.0)
@@ -69,6 +74,7 @@ def main(argv=None):
         listwise_weight=args.listwise_weight,
         click_occurance_power=args.occurance_power,
         dense_lr=args.dense_lr, sparse_lr=args.sparse_lr,
+        sparse_optimizer=args.sparse_optimizer,
         num_tasks=num_tasks)
     mesh = make_mesh()
     trainer = Trainer(model, fc, cfg, mesh=mesh)
@@ -85,6 +91,30 @@ def main(argv=None):
     state = trainer.init(jax.random.PRNGKey(args.seed), first)
 
     t0 = time.perf_counter()
+    if args.scan_window > 1:
+        # production inner loop: whole windows as one on-device scan
+        window, buf, step = args.scan_window, [], 0
+        for batch in batches:
+            buf.append(batch)
+            if len(buf) == window:
+                state, mseq = trainer.train_many(state, buf)
+                step += window
+                buf = []
+                metrics = {k: v[-1] for k, v in mseq.items()}
+                if args.log_every:
+                    eps = (args.batch_size * step
+                           / (time.perf_counter() - t0))
+                    line = {k: round(float(v), 5)
+                            for k, v in metrics.items()}
+                    line.update(step=step, examples_per_sec=round(eps, 1))
+                    print(json.dumps(line), flush=True)
+                if ckpt and args.checkpoint_every \
+                        and step % args.checkpoint_every == 0:
+                    ckpt.save(step, state)
+        if buf:
+            state, mseq = trainer.train_many(state, buf)
+            step += len(buf)
+        batches = []
     for i, batch in enumerate(batches):
         state, metrics = trainer.train_step(state, *trainer.put(batch))
         step = i + 1
