@@ -4,38 +4,40 @@ The TPU-native replacement for the reference's external parameter server
 (the ``embedding_func`` boundary, rec_now/rec_block/embedding_util.py:310
 — SURVEY.md §3.3 marks that line as "the future all-to-all path").
 
-Layout: rows are mod-sharded over the ``data`` mesh axis — global row
+Sharding: rows are mod-sharded over the ``data`` mesh axis — global row
 ``r`` lives on shard ``r % n`` at local index ``r // n``.  Mod (not
 block) sharding load-balances the usual power-law id distribution.
-Note the physical (V, D) array is therefore an *interleaved* view of the
-id space: id ``r`` is stored at physical row ``(r % n) * (V/n) + r // n``
-(:meth:`ShardedEmbeddingTable.physical_row`).  All access goes through
-:meth:`lookup` / :meth:`apply_grads`, which own the mapping.
+
+Physical layout — **lane packing**: TPU gathers/scatters move whole
+128-lane lines; a (V, 16) table wastes 7/8 of every line and measured
+~24x slower gathers / ~8x slower scatters than a 128-wide layout.  So
+``pack = 128 // D`` logical rows are stored per physical row: the local
+table is ``(Vl / pack, pack * D)`` and logical local row ``l`` occupies
+lanes ``[(l % pack) * D, (l % pack + 1) * D)`` of physical row
+``l // pack``.  Lookups fetch the packed line and select the slice;
+updates expand (row, D) values into one-hot-masked (pack * D) lines and
+scatter-*add* — slices within a line are disjoint, so colliding logical
+rows in one physical row combine correctly.  The Adagrad slot packs the
+same way as ``(Vl / pack, pack)``.
 
 Lookup (inside ``shard_map``, per shard):
 
     1. ``all_gather(local_ids)``   -> every shard sees the global id set
        (ids are int32 — the cheap direction);
-    2. local gather of owned rows, others masked to zero;
+    2. local packed gather of owned rows, others masked to zero;
     3. ``psum_scatter(partial)``   -> each shard receives the summed
        (exactly-one-owner) embeddings for its own batch rows.
 
 Both collectives ride ICI and are static-shape; there are no capacity
-bounds to overflow, unlike bucketed all-to-all designs.  The payload is
-``B*C*D / n`` floats per hop with an n-fold ICI multiplier on step 2's
-mask-sum — the robust v1 choice; a dedup + capacity-bounded
-``all_to_all`` exchange is the planned optimization once profiling
-justifies it (it only wins when B*C >> unique ids per shard).
+bounds to overflow, unlike bucketed all-to-all designs.
 
-Backward: the same path is differentiable (``psum_scatter`` transposes
-to ``all_gather`` and vice versa), but like the single-chip table we
-never differentiate w.r.t. the (V, D) shard — the train step takes grads
-w.r.t. gathered embeddings and calls :meth:`apply_grads`, which
-all-gathers the (B*C, D) grad rows and lets each shard scatter-add the
-rows it owns into its local Adagrad state.
+Updates never densify over the vocabulary: the train step passes grads
+w.r.t. the *gathered* rows; each shard scatter-adds the rows it owns
+into its local optimizer state (row-wise Adagrad, or lazy sparse Adam
+with (V, D)-shaped moment slots).
 
 Symbols: V global rows, Vl = V/n local rows, D dim, n shards,
-B*C flattened ids per shard.
+P = pack, B flattened ids.
 """
 from __future__ import annotations
 
@@ -49,25 +51,27 @@ from jax import shard_map
 
 from rec_now_tpu.parallel.mesh import DATA_AXIS
 
+_BIG = jnp.int32(2 ** 30)   # sentinel local row: scatters drop OOB
+
 
 class ShardedTableState(NamedTuple):
     """Per-shard table state; leading axis is sharded over the mesh.
 
-    ``accumulator`` is the Adagrad slot (V,); for the Adam optimizer
-    the (V, D) moment slots ``m``/``v`` are populated and a scalar
-    ``count`` drives bias correction (lazy Adam: moments decay only on
-    touched rows, matching TF's sparse Adam behavior for
-    IndexedSlices grads).
+    All arrays use the lane-packed physical layout (module docstring).
+    ``accumulator`` is the Adagrad slot; under Adam the moment slots
+    ``m``/``v`` are populated and ``count`` drives bias correction
+    (lazy Adam: moments decay only on touched rows, matching TF's
+    sparse-Adam behavior for IndexedSlices grads).
     """
-    table: jnp.ndarray        # (V, D) global view, rows mod-sharded
-    accumulator: jnp.ndarray  # (V,) adagrad slot (zeros under adam)
-    m: Optional[jnp.ndarray] = None      # (V, D) adam first moment
-    v: Optional[jnp.ndarray] = None      # (V, D) adam second moment
+    table: jnp.ndarray        # (V/P, P*D)
+    accumulator: jnp.ndarray  # (V/P, P) adagrad slot (zeros under adam)
+    m: Optional[jnp.ndarray] = None      # (V/P, P*D) adam first moment
+    v: Optional[jnp.ndarray] = None      # (V/P, P*D) adam second moment
     count: Optional[jnp.ndarray] = None  # () adam step counter
 
 
 class ShardedEmbeddingTable:
-    """Mod-sharded embedding table with collective lookup.
+    """Mod-sharded, lane-packed embedding table with collective lookup.
 
     All methods take/return *global* arrays with shardings attached; the
     collective internals live in ``shard_map``-decorated kernels.
@@ -86,10 +90,12 @@ class ShardedEmbeddingTable:
         self.mesh = mesh
         self.axis_name = axis_name
         self.num_shards = mesh.shape[axis_name]
-        if vocab_size % self.num_shards != 0:
-            vocab_size += self.num_shards - vocab_size % self.num_shards
-        self.vocab_size = vocab_size
         self.dim = dim
+        self.pack = 128 // dim if (dim < 128 and 128 % dim == 0) else 1
+        granule = self.num_shards * self.pack
+        if vocab_size % granule != 0:
+            vocab_size += granule - vocab_size % granule
+        self.vocab_size = vocab_size
         self.initializer_scale = initializer_scale
         self.initial_accumulator = initial_accumulator
         self.optimizer = optimizer
@@ -103,39 +109,109 @@ class ShardedEmbeddingTable:
 
     @property
     def acc_sharding(self) -> NamedSharding:
-        return NamedSharding(self.mesh, P(self.axis_name))
+        return NamedSharding(self.mesh, P(self.axis_name, None))
 
     @property
     def batch_sharding(self) -> NamedSharding:
         return NamedSharding(self.mesh, P(self.axis_name))
 
-    def physical_row(self, ids):
-        """Physical row index of global id(s) in the (V, D) array."""
-        ids = jnp.asarray(ids)
-        vl = self.vocab_size // self.num_shards
-        return (ids % self.num_shards) * vl + ids // self.num_shards
+    # -- packed-layout helpers (operate on shard-local arrays) -------------
+    def _fetch_rows(self, packed: jnp.ndarray,
+                    local_rows: jnp.ndarray) -> jnp.ndarray:
+        """(V/P, P*D) packed, (N,) local rows -> (N, D) values."""
+        if self.pack == 1:
+            return jnp.take(packed, local_rows, axis=0)
+        pr = local_rows // self.pack
+        off = local_rows % self.pack
+        lines = jnp.take(packed, pr, axis=0)              # (N, P*D)
+        lines = lines.reshape(-1, self.pack, self.dim)
+        return jnp.take_along_axis(
+            lines, off[:, None, None], axis=1)[:, 0]      # (N, D)
+
+    def _fetch_scalars(self, packed: jnp.ndarray,
+                       local_rows: jnp.ndarray) -> jnp.ndarray:
+        """(V/P, P) packed scalars, (N,) rows -> (N,) values."""
+        if self.pack == 1:
+            return jnp.take(packed[:, 0], local_rows, axis=0)
+        pr = local_rows // self.pack
+        off = local_rows % self.pack
+        lines = jnp.take(packed, pr, axis=0)              # (N, P)
+        return jnp.take_along_axis(lines, off[:, None], axis=1)[:, 0]
+
+    def _expand(self, local_rows: jnp.ndarray, vals: jnp.ndarray):
+        """(N,) rows, (N, D) vals -> (physical rows (N,), lines (N, P*D)).
+
+        Scatter-*adding* the lines applies ``vals`` to each logical
+        row's disjoint lane slice; sentinel rows land out of bounds and
+        are dropped.
+        """
+        pr = local_rows // self.pack
+        if self.pack == 1:
+            return pr, vals
+        off = local_rows % self.pack
+        oh = jax.nn.one_hot(off, self.pack, dtype=vals.dtype)  # (N, P)
+        lines = (oh[:, :, None] * vals[:, None, :]).reshape(
+            vals.shape[0], -1)                            # (N, P*D)
+        return pr, lines
+
+    def _expand_scalar(self, local_rows: jnp.ndarray, vals: jnp.ndarray):
+        """(N,) rows, (N,) scalars -> (physical rows, lines (N, P))."""
+        pr = local_rows // self.pack
+        if self.pack == 1:
+            return pr, vals[:, None]
+        off = local_rows % self.pack
+        oh = jax.nn.one_hot(off, self.pack, dtype=vals.dtype)
+        return pr, oh * vals[:, None]
+
+    def debug_read(self, packed_global, global_ids):
+        """Host-side logical-row reader for tests/debugging.
+
+        Args:
+            packed_global: a state array ((V/P, P*D) table/m/v or
+                (V/P, P) accumulator) as host-readable values.
+            global_ids: int ids.
+
+        Returns:
+            (N, D) rows or (N,) scalars in logical id order.
+        """
+        import numpy as np
+        arr = np.asarray(packed_global)
+        ids = np.asarray(global_ids).reshape(-1)
+        n, pack = self.num_shards, self.pack
+        vlp = self.vocab_size // n // pack        # local physical rows
+        shard = ids % n
+        local = ids // n
+        pr = shard * vlp + local // pack          # global physical row
+        off = local % pack
+        lines = arr[pr]
+        if arr.shape[1] == pack * self.dim:
+            return lines.reshape(len(ids), pack, self.dim)[
+                np.arange(len(ids)), off]
+        return lines.reshape(len(ids), pack)[np.arange(len(ids)), off]
 
     # -- init --------------------------------------------------------------
     def init(self, key: jax.Array) -> ShardedTableState:
         """Initialize the sharded state (sharding-constrained under jit)."""
         adam = self.optimizer == "adam"
         repl = NamedSharding(self.mesh, P())
+        vp = self.vocab_size // self.pack
+        width = self.pack * self.dim
 
         def _init(key):
             table = jax.random.uniform(
-                key, (self.vocab_size, self.dim), self.dtype,
+                key, (vp, width), self.dtype,
                 -self.initializer_scale, self.initializer_scale)
-            acc = jnp.full((self.vocab_size,), self.initial_accumulator,
+            acc = jnp.full((vp, self.pack), self.initial_accumulator,
                            self.dtype)
             table = jax.lax.with_sharding_constraint(
                 table, self.table_sharding)
             acc = jax.lax.with_sharding_constraint(acc, self.acc_sharding)
             if adam:
                 m = jax.lax.with_sharding_constraint(
-                    jnp.zeros((self.vocab_size, self.dim), self.dtype),
+                    jnp.zeros((vp, width), self.dtype),
                     self.table_sharding)
                 v = jax.lax.with_sharding_constraint(
-                    jnp.zeros((self.vocab_size, self.dim), self.dtype),
+                    jnp.zeros((vp, width), self.dtype),
                     self.table_sharding)
                 return ShardedTableState(table=table, accumulator=acc,
                                          m=m, v=v,
@@ -170,18 +246,17 @@ class ShardedEmbeddingTable:
             in_specs=(P(axis, None), P(axis)),
             out_specs=P(axis, None))
         def _lookup(table_local, flat_ids_local):
-            # (Vl, D), (b,) -> (b, D)
             my = jax.lax.axis_index(axis)
             all_ids = jax.lax.all_gather(flat_ids_local, axis,
                                          tiled=True)       # (B,)
             owner = all_ids % n
             local_rows = jnp.where(owner == my, all_ids // n, 0)
-            rows = jnp.take(table_local, local_rows, axis=0)  # (B, D)
+            rows = self._fetch_rows(table_local, local_rows)   # (B, D)
             rows = rows * (owner == my).astype(rows.dtype)[:, None]
             # exactly one owner contributes per id -> psum_scatter back
             # to the id's home shard.
             return jax.lax.psum_scatter(rows, axis, scatter_dimension=0,
-                                        tiled=True)         # (b, D)
+                                        tiled=True)        # (b, D)
 
         flat = ids.reshape(-1).astype(jnp.int32)
         # pad to a multiple of the shard count (query sizes are user
@@ -194,7 +269,47 @@ class ShardedEmbeddingTable:
             out = out[:-padded]
         return out.reshape(orig_shape + (self.dim,))
 
-    # -- sparse update -----------------------------------------------------
+    # -- shared update plumbing --------------------------------------------
+    def _flatten_pad(self, ids, grads, valid_mask):
+        flat_ids = ids.reshape(-1).astype(jnp.int32)
+        flat_grads = grads.reshape(flat_ids.shape[0], -1).astype(self.dtype)
+        if valid_mask is not None:
+            flat_grads = flat_grads * valid_mask.reshape(-1, 1).astype(
+                self.dtype)
+        padded = -flat_ids.shape[0] % self.num_shards
+        if padded:
+            flat_ids = jnp.concatenate(
+                [flat_ids, jnp.zeros((padded,), flat_ids.dtype)])
+            flat_grads = jnp.concatenate(
+                [flat_grads,
+                 jnp.zeros((padded, flat_grads.shape[1]),
+                           flat_grads.dtype)])
+        return flat_ids, flat_grads
+
+    @staticmethod
+    def _dedup_rows(mine, local_rows, g):
+        """Sort-based static-shape dedup: duplicate rows' grads sum.
+
+        Foreign ids become the ``_BIG`` sentinel: they sort to the back,
+        carry zero grads, and their scatters drop out of bounds.
+
+        Returns (rep (B,) unique local rows w/ sentinels,
+                 row_grad (B, D), seg_valid (B,) float).
+        """
+        eff = jnp.where(mine, local_rows, _BIG)
+        order = jnp.argsort(eff)
+        sid = eff[order]
+        sg = g[order]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
+        seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+        num = sid.shape[0]
+        row_grad = jax.ops.segment_sum(sg, seg, num_segments=num)
+        rep = jnp.full((num,), _BIG, sid.dtype).at[seg].set(sid)
+        seg_valid = (rep < _BIG).astype(g.dtype)
+        return rep, row_grad, seg_valid
+
+    # -- adagrad update ----------------------------------------------------
     def apply_grads(self, state: ShardedTableState,
                     ids: jnp.ndarray,
                     grads: jnp.ndarray,
@@ -209,6 +324,8 @@ class ShardedEmbeddingTable:
             grads: ids.shape + (D,) grads w.r.t. the gathered embeddings.
             lr: learning rate.
             valid_mask: optional bool mask matching ``ids``.
+            dedup: True = exact dedup (duplicates sum before the
+                update); False = sort-free per-occurrence semantics.
 
         Returns:
             Updated state (same shardings; donate for in-place).
@@ -217,101 +334,57 @@ class ShardedEmbeddingTable:
         axis = self.axis_name
         if self.optimizer == "adam":
             return self._apply_grads_adam(state, ids, grads, lr,
-                                          valid_mask, dedup)
+                                          valid_mask)
 
         @functools.partial(
             shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis), P(axis), P(axis, None)),
-            out_specs=(P(axis, None), P(axis)))
-        def _update(table_local, acc_local, flat_ids_local, flat_grads_local):
+            in_specs=(P(axis, None), P(axis, None), P(axis),
+                      P(axis, None)),
+            out_specs=(P(axis, None), P(axis, None)))
+        def _update(table_local, acc_local, flat_ids_local,
+                    flat_grads_local):
             my = jax.lax.axis_index(axis)
-            all_ids = jax.lax.all_gather(flat_ids_local, axis,
-                                         tiled=True)        # (B,)
+            all_ids = jax.lax.all_gather(flat_ids_local, axis, tiled=True)
             all_grads = jax.lax.all_gather(flat_grads_local, axis,
-                                           tiled=True)      # (B, D)
+                                           tiled=True)
             owner = all_ids % n
             mine = owner == my
             local_rows = jnp.where(mine, all_ids // n, 0)
             g = all_grads * mine.astype(all_grads.dtype)[:, None]
 
-            if not dedup:
-                # sort-free per-occurrence Adagrad (classic PS scatter
-                # semantics, deterministic): two scatter passes — first
-                # accumulate all squared-grad contributions, then scale
-                # every occurrence by the fully-updated accumulator.
-                # Avoids the O(N log N) TPU sort of the exact-dedup
-                # path; numerics differ only when a row repeats within
-                # one batch (each occurrence divides by the same
-                # post-batch accumulator instead of the summed grad).
-                big = jnp.int32(2 ** 30)
-                rows = jnp.where(mine, local_rows, big)    # OOB dropped
-                sq = jnp.mean(jnp.square(g), axis=1)
-                new_acc = acc_local.at[rows].add(sq)
-                denom = jnp.sqrt(new_acc[jnp.minimum(
-                    rows, acc_local.shape[0] - 1)])
-                scaled = (lr / denom)[:, None] * g
-                new_table = table_local.at[rows].add(-scaled)
-                return new_table, new_acc
+            if dedup:
+                rows, row_grad, valid = self._dedup_rows(mine, local_rows,
+                                                         g)
+            else:
+                # per-occurrence semantics: each occurrence contributes
+                # its own squared grad; every occurrence scales by the
+                # post-batch accumulator (deterministic, sort-free)
+                rows = jnp.where(mine, local_rows, _BIG)
+                row_grad = g
+                valid = mine.astype(g.dtype)
 
-            # dedup duplicate rows (sort-based, static shape) so Adagrad
-            # sees one accumulated grad per row — mirrors
-            # rec_now_tpu/embedding/table.py.  Foreign ids become the
-            # BIG sentinel: they sort to the back, their grads are
-            # already zeroed, and their scatters fall out of bounds and
-            # are dropped by XLA's scatter semantics.
-            big = jnp.int32(2 ** 30)
-            eff = jnp.where(mine, local_rows, big)
-            order = jnp.argsort(eff)
-            sid = eff[order]                               # (B,) sorted
-            sg = g[order]                                  # (B, D)
-            first = jnp.concatenate(
-                [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-            seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-            num = sid.shape[0]
-            row_grad = jax.ops.segment_sum(sg, seg, num_segments=num)
-            rep = jnp.full((num,), big, sid.dtype).at[seg].set(sid)
-            seg_valid = (rep < big).astype(table_local.dtype)
-
-            sq = jnp.mean(jnp.square(row_grad), axis=1) * seg_valid
-            # rep is sorted-unique (sentinels at the tail): telling XLA
-            # lets the TPU scatter/gather vectorize instead of
-            # serializing on possible duplicates
-            new_acc = acc_local.at[rep].add(
-                sq, indices_are_sorted=True, unique_indices=True)
-            denom = jnp.sqrt(jnp.clip(new_acc, 1e-12)[
-                jnp.minimum(rep, acc_local.shape[0] - 1)])
-            scale = (lr / denom)[:, None] * seg_valid[:, None]
-            new_table = table_local.at[rep].add(
-                -scale * row_grad, indices_are_sorted=True,
-                unique_indices=True)
+            sq = jnp.mean(jnp.square(row_grad), axis=1) * valid
+            pr_a, acc_lines = self._expand_scalar(rows, sq)
+            new_acc = acc_local.at[pr_a].add(acc_lines)
+            acc_rows = self._fetch_scalars(
+                new_acc, jnp.minimum(rows, self.vocab_size // n - 1))
+            scale = (lr / jnp.sqrt(jnp.clip(acc_rows, 1e-12)))[:, None] \
+                * valid[:, None]
+            pr_t, lines = self._expand(rows, -scale * row_grad)
+            new_table = table_local.at[pr_t].add(lines)
             return new_table, new_acc
 
-        flat_ids = ids.reshape(-1).astype(jnp.int32)
-        flat_grads = grads.reshape(flat_ids.shape[0], -1).astype(self.dtype)
-        if valid_mask is not None:
-            flat_grads = flat_grads * valid_mask.reshape(-1, 1).astype(
-                self.dtype)
-        padded = -flat_ids.shape[0] % n
-        if padded:
-            flat_ids = jnp.concatenate(
-                [flat_ids, jnp.zeros((padded,), flat_ids.dtype)])
-            flat_grads = jnp.concatenate(
-                [flat_grads,
-                 jnp.zeros((padded, flat_grads.shape[1]), flat_grads.dtype)])
+        flat_ids, flat_grads = self._flatten_pad(ids, grads, valid_mask)
         new_table, new_acc = _update(state.table, state.accumulator,
                                      flat_ids, flat_grads)
         return state._replace(table=new_table, accumulator=new_acc)
 
+    # -- adam update -------------------------------------------------------
     def _apply_grads_adam(self, state: ShardedTableState,
                           ids: jnp.ndarray, grads: jnp.ndarray, lr: float,
-                          valid_mask: Optional[jnp.ndarray],
-                          dedup: bool) -> ShardedTableState:
-        """Lazy row-wise sparse Adam on owned rows (dedup only).
-
-        Moments decay only for touched rows (TF sparse-Adam semantics);
-        bias correction uses the global step counter.
-        """
-        del dedup  # adam requires the deduplicated row grads
+                          valid_mask: Optional[jnp.ndarray]
+                          ) -> ShardedTableState:
+        """Lazy row-wise sparse Adam on owned rows (always deduped)."""
         n = self.num_shards
         axis = self.axis_name
         b1, b2, eps = self.beta1, self.beta2, self.eps
@@ -332,51 +405,27 @@ class ShardedEmbeddingTable:
             local_rows = jnp.where(mine, all_ids // n, 0)
             g = all_grads * mine.astype(all_grads.dtype)[:, None]
 
-            big = jnp.int32(2 ** 30)
-            eff = jnp.where(mine, local_rows, big)
-            order = jnp.argsort(eff)
-            sid = eff[order]
-            sg = g[order]
-            first = jnp.concatenate(
-                [jnp.ones((1,), bool), sid[1:] != sid[:-1]])
-            seg = jnp.cumsum(first.astype(jnp.int32)) - 1
-            num = sid.shape[0]
-            row_grad = jax.ops.segment_sum(sg, seg, num_segments=num)
-            rep = jnp.full((num,), big, sid.dtype).at[seg].set(sid)
-            seg_valid = (rep < big).astype(table_local.dtype)
-            safe_rep = jnp.minimum(rep, table_local.shape[0] - 1)
-
-            m_rows = m_local[safe_rep]
-            v_rows = v_local[safe_rep]
+            rows, row_grad, valid = self._dedup_rows(mine, local_rows, g)
+            safe = jnp.minimum(rows, self.vocab_size // n - 1)
+            m_rows = self._fetch_rows(m_local, safe)
+            v_rows = self._fetch_rows(v_local, safe)
             m_new = b1 * m_rows + (1 - b1) * row_grad
             v_new = b2 * v_rows + (1 - b2) * jnp.square(row_grad)
             tf_ = t.astype(table_local.dtype)
             mhat = m_new / (1 - b1 ** tf_)
             vhat = v_new / (1 - b2 ** tf_)
             update = lr * mhat / (jnp.sqrt(vhat) + eps)
-            # OOB sentinel rows are dropped by scatter semantics
-            new_m = m_local.at[rep].set(
-                m_new, indices_are_sorted=True, unique_indices=True)
-            new_v = v_local.at[rep].set(
-                v_new, indices_are_sorted=True, unique_indices=True)
-            new_table = table_local.at[rep].add(
-                -update * seg_valid[:, None], indices_are_sorted=True,
-                unique_indices=True)
-            return new_table, new_m, new_v
 
-        flat_ids = ids.reshape(-1).astype(jnp.int32)
-        flat_grads = grads.reshape(flat_ids.shape[0], -1).astype(self.dtype)
-        if valid_mask is not None:
-            flat_grads = flat_grads * valid_mask.reshape(-1, 1).astype(
-                self.dtype)
-        padded = -flat_ids.shape[0] % n
-        if padded:
-            flat_ids = jnp.concatenate(
-                [flat_ids, jnp.zeros((padded,), flat_ids.dtype)])
-            flat_grads = jnp.concatenate(
-                [flat_grads,
-                 jnp.zeros((padded, flat_grads.shape[1]),
-                           flat_grads.dtype)])
+            # set-via-delta: adding (new - old) on the disjoint lane
+            # slice equals a set; sentinel rows drop out of bounds
+            pr_m, dm = self._expand(rows, (m_new - m_rows) * valid[:, None])
+            pr_v, dv = self._expand(rows, (v_new - v_rows) * valid[:, None])
+            pr_t, dt = self._expand(rows, -update * valid[:, None])
+            return (table_local.at[pr_t].add(dt),
+                    m_local.at[pr_m].add(dm),
+                    v_local.at[pr_v].add(dv))
+
+        flat_ids, flat_grads = self._flatten_pad(ids, grads, valid_mask)
         new_count = state.count + 1
         new_table, new_m, new_v = _update(
             state.table, state.m, state.v, flat_ids, flat_grads,

@@ -229,6 +229,7 @@ def pairwise_loss(outputs: jnp.ndarray,
                   click_occurance_power: float = 0.0,
                   mask: Optional[jnp.ndarray] = None,
                   label_pair_to_weight_func: Optional[Callable] = None,
+                  use_pallas: Optional[bool] = None,
                   **kwargs):
     """In-batch pairwise loss (reference: pairwise_loss_from_batch.py:228).
 
@@ -253,6 +254,24 @@ def pairwise_loss(outputs: jnp.ndarray,
     Returns:
         Scalar loss (and the pair count if ``return_num_pair``).
     """
+    # kernel path: the common configuration (single group condition,
+    # default BPR + label ordering) runs as a Pallas kernel on TPU with
+    # O(B) HBM traffic (ops/pallas/pairwise_kernel.py)
+    kernel_ok = (label_pair_to_weight_func is None
+                 and pairloss_func is bpr_loss_func
+                 and not isinstance(groups, (list, tuple))
+                 and not kwargs)
+    if use_pallas is None:
+        use_pallas = kernel_ok and jax.default_backend() == "tpu"
+    if use_pallas and kernel_ok:
+        from rec_now_tpu.ops.pallas.pairwise_kernel import (
+            pairwise_loss_pallas)
+        return pairwise_loss_pallas(
+            outputs, labels, groups,
+            only_use_wrong_order_pair=only_use_wrong_order_pair,
+            return_num_pair=return_num_pair,
+            click_occurance_power=click_occurance_power, mask=mask)
+
     pair_mask = generate_pair_mask(groups)
     pair_mask = _apply_sample_mask(pair_mask, mask)
     outputs_matrix, outputs_matrix_t = vec_to_matrix_pair(outputs)

@@ -1,0 +1,336 @@
+"""In-batch pairwise BPR loss as Pallas TPU kernels.
+
+The XLA path (losses/pairwise.py) fuses well but still materializes a
+handful of (B, B) slabs in HBM (~270 MB each at B=8192); profiling puts
+the fwd+bwd at ~17 ms inside the train step.  These kernels generate the
+entire pair structure *in VMEM from the (B,) input vectors* — same-group
+mask, diagonal, label ordering, logit differences, softplus, reductions
+— so HBM traffic is O(B) and the loss becomes VPU-compute-bound.
+
+Tiling: the grid walks row blocks; each (B,) input is passed twice —
+once as a (TILE,)-blocked view (the "row" side) and once as a full
+(B,) resident view (the "column" side) — because Mosaic requires
+aligned static offsets for vector loads, which BlockSpec blocking
+provides and in-kernel dynamic slicing does not.  Per-block (TILE, B)
+intermediates live only in VMEM.
+
+Kernels:
+
+* :func:`pair_row_counts` — valid pairs anchored per row (occurrence
+  weighting pass 1).
+* :func:`same_group_matvec` — ``out[i] = sum_k [g_i == g_k] * vec[k]``
+  (occurrence weighting pass 2) without the (B, B) matrix.
+* :func:`pair_loss_sum` — custom-VJP forward/backward of
+  ``sum_ij mask * w_i * softplus(-(x_i - x_j) * factor)`` plus the pair
+  count.
+
+Supported semantics: single group condition, optional per-sample
+validity mask, optional per-row weights (occurrence power), the default
+``label_i > label_j`` ordering, optional wrong-order filter.  Other
+reference options (multi-group AND, custom label-pair weight functions)
+stay on the XLA path — losses/pairwise.py dispatches.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _row_tile(b: int) -> int:
+    # several (TILE, B) f32 intermediates coexist in VMEM (mask, diff,
+    # losses, products + input double-buffering); keep each slab <= 2MB
+    for t in (256, 128, 64, 32, 16, 8):
+        if b % t == 0 and t * b * 4 <= 2 * 1024 * 1024:
+            return t
+    return b
+
+
+def _blocked(tile: int):
+    # rows arrive pre-reshaped (G, 1, tile); one (1, 1, tile) block per
+    # step — the trailing (1, tile) dims equal the array dims, which
+    # satisfies Mosaic's block divisibility rule for any tile
+    return pl.BlockSpec((1, 1, tile), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _full(b: int):
+    # columns arrive as (1, B); the whole array every step
+    return pl.BlockSpec((1, b), lambda i: (0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _rows2d(x, tile):
+    return x.reshape(-1, 1, tile)
+
+
+def _cols2d(x):
+    return x.reshape(1, -1)
+
+
+# --------------------------------------------------------------------------
+# pair mask helper (traced inside kernels)
+# --------------------------------------------------------------------------
+
+def _tile_mask(g_rows, g_cols, lab_rows, lab_cols, m_rows, m_cols,
+               x_rows, x_cols, i0, wrong_order, use_mask):
+    """(R, B) float validity of pairs for one row block."""
+    r = g_rows.shape[0]
+    b = g_cols.shape[0]
+    same = g_rows[:, None] == g_cols[None, :]
+    col = jax.lax.broadcasted_iota(jnp.int32, (r, b), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (r, b), 0) + i0
+    mask = jnp.logical_and(same, col != row)
+    mask = jnp.logical_and(mask, lab_rows[:, None] > lab_cols[None, :])
+    if use_mask:
+        mask = jnp.logical_and(
+            mask, jnp.logical_and(m_rows[:, None] > 0.5,
+                                  m_cols[None, :] > 0.5))
+    if wrong_order:
+        mask = jnp.logical_and(mask, x_rows[:, None] < x_cols[None, :])
+    return mask.astype(jnp.float32)
+
+
+# --------------------------------------------------------------------------
+# row counts / same-group matvec
+# --------------------------------------------------------------------------
+
+def pair_row_counts(logits, labels, groups, sample_mask=None,
+                    wrong_order: bool = False):
+    """(B,) number of valid pairs anchored at each row."""
+    b = logits.shape[0]
+    tile = _row_tile(b)
+    use_mask = sample_mask is not None
+    if not use_mask:
+        sample_mask = jnp.ones((b,), jnp.float32)
+
+    def kernel(xr, lr_, gr, mr, xf, lf, gf, mf, out_ref):
+        i0 = pl.program_id(0) * tile
+        mask = _tile_mask(gr[0, 0], gf[0], lr_[0, 0], lf[0], mr[0, 0], mf[0],
+                          xr[0, 0], xf[0], i0, wrong_order, use_mask)
+        out_ref[0, 0, :] = jnp.sum(mask, axis=1)
+
+    rows = [_rows2d(logits.astype(jnp.float32), tile),
+            _rows2d(labels.astype(jnp.float32), tile),
+            _rows2d(groups.astype(jnp.int32), tile),
+            _rows2d(sample_mask.astype(jnp.float32), tile)]
+    cols = [_cols2d(logits.astype(jnp.float32)),
+            _cols2d(labels.astype(jnp.float32)),
+            _cols2d(groups.astype(jnp.int32)),
+            _cols2d(sample_mask.astype(jnp.float32))]
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // tile,),
+        in_specs=[_blocked(tile)] * 4 + [_full(b)] * 4,
+        out_specs=_blocked(tile),
+        out_shape=jax.ShapeDtypeStruct((b // tile, 1, tile), jnp.float32),
+        interpret=_interpret(),
+    )(*rows, *cols)
+    return out.reshape(b)
+
+
+def same_group_matvec(groups, vec):
+    """out[i] = sum_k [g_i == g_k] * vec[k], without the (B, B) matrix."""
+    b = groups.shape[0]
+    tile = _row_tile(b)
+
+    def kernel(gr, gf, vf, out_ref):
+        same = (gr[0, 0][:, None] == gf[0][None, :]).astype(jnp.float32)
+        out_ref[0, 0, :] = jnp.sum(same * vf[0][None, :], axis=1)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // tile,),
+        in_specs=[_blocked(tile), _full(b), _full(b)],
+        out_specs=_blocked(tile),
+        out_shape=jax.ShapeDtypeStruct((b // tile, 1, tile), jnp.float32),
+        interpret=_interpret(),
+    )(_rows2d(groups.astype(jnp.int32), tile),
+      _cols2d(groups.astype(jnp.int32)), _cols2d(vec.astype(jnp.float32)))
+    return out.reshape(b)
+
+
+# --------------------------------------------------------------------------
+# loss sum with custom VJP
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def pair_loss_sum(logits, labels, groups, row_weights, sample_mask,
+                  factor: float = 1.0, wrong_order: bool = False):
+    """(sum of weighted BPR pair losses, pair count).
+
+    Args:
+        logits, labels, groups: (B,) vectors.
+        row_weights: (B,) per-row multiplicative weights (e.g. the
+            occurrence-power weights), or all-ones.
+        sample_mask: (B,) 0/1 validity, or all-ones.
+        factor: inverse temperature on the logit gap.
+        wrong_order: keep only pairs scored in the wrong order.
+
+    Returns:
+        (loss_sum, n_pair) — both scalars; gradients flow to ``logits``
+        only (weights/masks are treated as constants, matching the
+        reference's stop_gradient semantics).
+    """
+    return _pair_loss_fwd_impl(logits, labels, groups, row_weights,
+                               sample_mask, factor, wrong_order)
+
+
+def _pair_loss_fwd_impl(logits, labels, groups, row_weights, sample_mask,
+                        factor, wrong_order):
+    b = logits.shape[0]
+    tile = _row_tile(b)
+
+    def kernel(xr, lr_, gr, wr, mr, xf, lf, gf, mf, loss_ref, cnt_ref):
+        step = pl.program_id(0)
+        i0 = step * tile
+        mask = _tile_mask(gr[0, 0], gf[0], lr_[0, 0], lf[0], mr[0, 0], mf[0],
+                          xr[0, 0], xf[0], i0, wrong_order, True)
+        diff = (xr[0, 0][:, None] - xf[0][None, :]) * factor
+        losses = jax.nn.softplus(-diff)
+        tile_loss = jnp.sum(losses * mask * wr[0, 0][:, None])
+        tile_cnt = jnp.sum(mask)
+
+        @pl.when(step == 0)
+        def _():
+            loss_ref[0, 0] = 0.0
+            cnt_ref[0, 0] = 0.0
+        loss_ref[0, 0] += tile_loss
+        cnt_ref[0, 0] += tile_cnt
+
+    loss, cnt = pl.pallas_call(
+        kernel,
+        grid=(b // tile,),
+        in_specs=[_blocked(tile)] * 5 + [_full(b)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2,
+        interpret=_interpret(),
+    )(_rows2d(logits.astype(jnp.float32), tile),
+      _rows2d(labels.astype(jnp.float32), tile),
+      _rows2d(groups.astype(jnp.int32), tile),
+      _rows2d(row_weights.astype(jnp.float32), tile),
+      _rows2d(sample_mask.astype(jnp.float32), tile),
+      _cols2d(logits.astype(jnp.float32)),
+      _cols2d(labels.astype(jnp.float32)),
+      _cols2d(groups.astype(jnp.int32)),
+      _cols2d(sample_mask.astype(jnp.float32)))
+    return loss[0, 0], cnt[0, 0]
+
+
+def _pair_loss_fwd(logits, labels, groups, row_weights, sample_mask,
+                   factor, wrong_order):
+    out = _pair_loss_fwd_impl(logits, labels, groups, row_weights,
+                              sample_mask, factor, wrong_order)
+    return out, (logits, labels, groups, row_weights, sample_mask)
+
+
+def _pair_loss_bwd(factor, wrong_order, residuals, cotangents):
+    logits, labels, groups, row_weights, sample_mask = residuals
+    g_loss, _ = cotangents  # count has no tangent
+    b = logits.shape[0]
+    tile = _row_tile(b)
+
+    def kernel(xr, lr_, gr, wr, mr, xf, lf, gf, mf, drow_ref, dcol_ref):
+        step = pl.program_id(0)
+        i0 = step * tile
+        mask = _tile_mask(gr[0, 0], gf[0], lr_[0, 0], lf[0], mr[0, 0], mf[0],
+                          xr[0, 0], xf[0], i0, wrong_order, True)
+        diff = (xr[0, 0][:, None] - xf[0][None, :]) * factor
+        # d softplus(-diff) / d diff = -sigmoid(-diff)
+        s = (-jax.nn.sigmoid(-diff) * factor) * mask \
+            * wr[0, 0][:, None]                               # (R, B)
+        drow_ref[0, 0, :] = jnp.sum(s, axis=1)
+
+        @pl.when(step == 0)
+        def _():
+            dcol_ref[...] = jnp.zeros_like(dcol_ref)
+        dcol_ref[...] += -jnp.sum(s, axis=0)[None, :]
+
+    drow, dcol = pl.pallas_call(
+        kernel,
+        grid=(b // tile,),
+        in_specs=[_blocked(tile)] * 5 + [_full(b)] * 4,
+        out_specs=[_blocked(tile), _full(b)],
+        out_shape=[jax.ShapeDtypeStruct((b // tile, 1, tile), jnp.float32),
+                   jax.ShapeDtypeStruct((1, b), jnp.float32)],
+        interpret=_interpret(),
+    )(_rows2d(logits.astype(jnp.float32), tile),
+      _rows2d(labels.astype(jnp.float32), tile),
+      _rows2d(groups.astype(jnp.int32), tile),
+      _rows2d(row_weights.astype(jnp.float32), tile),
+      _rows2d(sample_mask.astype(jnp.float32), tile),
+      _cols2d(logits.astype(jnp.float32)),
+      _cols2d(labels.astype(jnp.float32)),
+      _cols2d(groups.astype(jnp.int32)),
+      _cols2d(sample_mask.astype(jnp.float32)))
+    dx = (drow.reshape(b) + dcol.reshape(b)) * g_loss
+    return (dx.astype(logits.dtype), None, None, None, None)
+
+
+pair_loss_sum.defvjp(_pair_loss_fwd, _pair_loss_bwd)
+
+
+# --------------------------------------------------------------------------
+# full pairwise loss on the kernel path
+# --------------------------------------------------------------------------
+
+def pairwise_loss_pallas(outputs, labels, groups,
+                         factor: float = 1.0,
+                         only_use_wrong_order_pair: bool = False,
+                         return_num_pair: bool = False,
+                         click_occurance_power: float = 0.0,
+                         mask: Optional[jnp.ndarray] = None,
+                         reduce_mean: bool = True):
+    """Reference-semantics pairwise BPR loss, fully kernel-backed.
+
+    Covers the common option subset (single group, default label
+    ordering); losses/pairwise.py routes here automatically on TPU.
+    """
+    outputs = jnp.reshape(outputs, (-1,))
+    labels = jnp.reshape(labels, (-1,))
+    groups = jnp.reshape(groups, (-1,))
+    b0 = outputs.shape[0]
+    m = (jnp.ones((b0,), jnp.float32) if mask is None
+         else jnp.reshape(mask, (-1,)).astype(jnp.float32))
+
+    # pad to a block-tileable size; padded rows have mask 0 and a group
+    # id no real row uses, so they contribute nothing
+    tile = _row_tile(b0) if b0 % 8 == 0 else 8
+    pad = -b0 % max(tile, 8)
+    if pad:
+        outputs = jnp.pad(outputs, (0, pad))
+        labels = jnp.pad(labels, (0, pad))
+        groups = jnp.pad(groups.astype(jnp.int32), (0, pad),
+                         constant_values=jnp.int32(2 ** 30))
+        m = jnp.pad(m, (0, pad))
+    b = outputs.shape[0]
+    ones = jnp.ones((b,), jnp.float32)
+
+    if click_occurance_power != 0.0:
+        # the occurrence weights are constants w.r.t. the logits
+        # (reference stop_gradient semantics); stop at the kernel inputs
+        # so the counts kernels never enter a grad trace
+        counts = pair_row_counts(jax.lax.stop_gradient(outputs), labels,
+                                 groups, m, only_use_wrong_order_pair)
+        gpc = same_group_matvec(groups, counts)
+        row_w = jnp.where(gpc > 0,
+                          jnp.power(gpc, click_occurance_power), 0.0)
+        row_w = jax.lax.stop_gradient(row_w)
+    else:
+        row_w = ones
+
+    loss_sum, n = pair_loss_sum(outputs, labels, groups, row_w, m,
+                                factor, only_use_wrong_order_pair)
+    n = jax.lax.stop_gradient(n)
+    loss = loss_sum / (n + 1e-10) if reduce_mean else loss_sum
+    if return_num_pair:
+        return loss, n
+    return loss

@@ -163,13 +163,22 @@ class Trainer:
         def local(logits, labels, groups, axis_name=None):
             out = {}
             if cfg.pairwise_weight != 0.0:
-                pl_sum, n_pair = pairwise_loss(
-                    logits, labels, groups,
-                    pairloss_func=functools.partial(
-                        bpr_loss_func, factor=cfg.pairwise_factor,
-                        reduce_mean=False),
-                    click_occurance_power=cfg.click_occurance_power,
-                    return_num_pair=True)
+                if jax.default_backend() == "tpu":
+                    from rec_now_tpu.ops.pallas.pairwise_kernel import (
+                        pairwise_loss_pallas)
+                    pl_sum, n_pair = pairwise_loss_pallas(
+                        logits, labels, groups,
+                        factor=cfg.pairwise_factor,
+                        click_occurance_power=cfg.click_occurance_power,
+                        return_num_pair=True, reduce_mean=False)
+                else:
+                    pl_sum, n_pair = pairwise_loss(
+                        logits, labels, groups,
+                        pairloss_func=functools.partial(
+                            bpr_loss_func, factor=cfg.pairwise_factor,
+                            reduce_mean=False),
+                        click_occurance_power=cfg.click_occurance_power,
+                        return_num_pair=True)
                 if axis_name:
                     pl_sum = jax.lax.psum(pl_sum, axis_name)
                     n_pair = jax.lax.psum(n_pair, axis_name)

@@ -36,18 +36,17 @@ class TestScatterMode:
         table = ShardedEmbeddingTable(vocab_size=64, dim=2, mesh=mesh,
                                       initial_accumulator=0.1)
         s0 = table.init(KEY)
-        ids = jnp.array([5] * 8, jnp.int32)
+        ids = jnp.array([5] * 8, jnp.int32)  # duplicate-hammered row
         g = jnp.ones((8, 2))
         s1 = table.apply_grads(s0, ids, g, 0.1, dedup=False)
-        phys = int(table.physical_row(jnp.array(5)))
         # acc += 8 * mean(1^2) = 8
-        assert np.asarray(s1.accumulator)[phys] == pytest.approx(8.1,
-                                                                 rel=1e-5)
+        assert table.debug_read(s1.accumulator, [5])[0] == \
+            pytest.approx(8.1, rel=1e-5)
         # each occurrence scaled by the post-batch accumulator
-        expected = (np.asarray(s0.table)[phys]
+        expected = (table.debug_read(s0.table, [5])[0]
                     - 8 * 0.1 / np.sqrt(8.1) * np.ones(2))
-        np.testing.assert_allclose(np.asarray(s1.table)[phys], expected,
-                                   rtol=1e-5)
+        np.testing.assert_allclose(table.debug_read(s1.table, [5])[0],
+                                   expected, rtol=1e-5)
 
     def test_training_converges(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh,

@@ -17,14 +17,14 @@ def mesh():
 
 
 class TestShardedLookup:
-    def test_matches_dense_gather(self, mesh):
+    def test_matches_debug_read(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh)
         state = table.init(KEY)
         ids = jnp.arange(16, dtype=jnp.int32) * 3 % 64
         emb = table.lookup(state, ids)
-        dense = np.asarray(state.table)
-        phys = np.asarray(table.physical_row(ids))
-        np.testing.assert_allclose(np.asarray(emb), dense[phys], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(emb),
+                                   table.debug_read(state.table, ids),
+                                   rtol=1e-6)
 
     def test_2d_ids(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh)
@@ -32,23 +32,41 @@ class TestShardedLookup:
         ids = jnp.arange(32, dtype=jnp.int32).reshape(8, 4)
         emb = table.lookup(state, ids)
         assert emb.shape == (8, 4, 4)
-        dense = np.asarray(state.table)
-        phys = np.asarray(table.physical_row(ids))
-        np.testing.assert_allclose(np.asarray(emb), dense[phys], rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(emb).reshape(32, 4),
+            table.debug_read(state.table, np.asarray(ids).reshape(-1)),
+            rtol=1e-6)
 
-    def test_vocab_rounded_to_shards(self, mesh):
-        table = ShardedEmbeddingTable(vocab_size=61, dim=2, mesh=mesh)
-        assert table.vocab_size == 64
+    def test_vocab_rounded_to_granule(self, mesh):
+        # 8 shards x pack 32 (dim 4) = granule 256
+        table = ShardedEmbeddingTable(vocab_size=61, dim=4, mesh=mesh)
+        assert table.vocab_size % (8 * table.pack) == 0
+
+    def test_pack_factor(self, mesh):
+        assert ShardedEmbeddingTable(vocab_size=256, dim=16,
+                                     mesh=mesh).pack == 8
+        assert ShardedEmbeddingTable(vocab_size=256, dim=128,
+                                     mesh=mesh).pack == 1
+        assert ShardedEmbeddingTable(vocab_size=256, dim=72,
+                                     mesh=mesh).pack == 1
 
     def test_lookup_under_jit(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh)
         state = table.init(KEY)
         ids = jnp.arange(16, dtype=jnp.int32)
         f = jax.jit(lambda s, i: table.lookup(s, i))
-        emb = f(state, ids)
-        dense = np.asarray(state.table)
-        phys = np.asarray(table.physical_row(ids))
-        np.testing.assert_allclose(np.asarray(emb), dense[phys], rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(f(state, ids)),
+                                   table.debug_read(state.table, ids),
+                                   rtol=1e-6)
+
+    def test_non_divisible_query(self, mesh):
+        table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh)
+        state = table.init(KEY)
+        ids = jnp.array([7, 8], jnp.int32)   # 2 ids, 8 shards
+        emb = table.lookup(state, ids)
+        np.testing.assert_allclose(np.asarray(emb),
+                                   table.debug_read(state.table, ids),
+                                   rtol=1e-6)
 
 
 class TestShardedUpdate:
@@ -57,26 +75,26 @@ class TestShardedUpdate:
         vocab, dim = 64, 4
         sh = ShardedEmbeddingTable(vocab_size=vocab, dim=dim, mesh=mesh)
         st_sh = sh.init(KEY)
+        vocab = sh.vocab_size  # rounded
         single = EmbeddingTable(vocab_size=vocab, dim=dim)
-        # copy state so both start logically identical (the sharded
-        # physical array is the mod-interleaved view of the id space)
         from rec_now_tpu.embedding.table import EmbeddingTableState
-        phys = np.asarray(sh.physical_row(jnp.arange(vocab)))
+        all_ids = np.arange(vocab)
         st_si = EmbeddingTableState(
-            table=jnp.asarray(np.asarray(st_sh.table)[phys]),
-            accumulator=jnp.asarray(np.asarray(st_sh.accumulator)[phys]))
+            table=jnp.asarray(sh.debug_read(st_sh.table, all_ids)),
+            accumulator=jnp.asarray(
+                sh.debug_read(st_sh.accumulator, all_ids)))
 
         ids = jnp.array([1, 5, 1, 8, 63, 5, 5, 2], jnp.int32)
         grads = jax.random.normal(jax.random.PRNGKey(2), (8, dim))
 
         new_sh = sh.apply_grads(st_sh, ids, grads, lr=0.1)
         new_si = single.apply_grads(st_si, ids, grads, lr=0.1)
-        np.testing.assert_allclose(np.asarray(new_sh.table)[phys],
-                                   np.asarray(new_si.table), rtol=1e-5,
-                                   atol=1e-6)
-        np.testing.assert_allclose(np.asarray(new_sh.accumulator)[phys],
-                                   np.asarray(new_si.accumulator),
-                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            sh.debug_read(new_sh.table, all_ids),
+            np.asarray(new_si.table), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            sh.debug_read(new_sh.accumulator, all_ids),
+            np.asarray(new_si.accumulator), rtol=1e-5, atol=1e-6)
 
     def test_training_reduces_loss(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh,
@@ -101,6 +119,27 @@ class TestShardedUpdate:
     def test_state_shardings(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh)
         state = table.init(KEY)
-        # the table must actually be sharded over the mesh axis
-        assert state.table.sharding.spec == \
-            jax.sharding.PartitionSpec("data", None)
+        spec = state.table.sharding.spec
+        assert len(spec) >= 1 and spec[0] == "data", spec
+
+    def test_packed_dim16(self, mesh):
+        """dim=16 -> pack 8: lookup/update round-trip stays exact."""
+        table = ShardedEmbeddingTable(vocab_size=1024, dim=16, mesh=mesh)
+        assert table.pack == 8
+        state = table.init(KEY)
+        ids = jnp.array([0, 1, 7, 8, 9, 511, 512, 1023], jnp.int32)
+        emb = table.lookup(state, ids)
+        np.testing.assert_allclose(np.asarray(emb),
+                                   table.debug_read(state.table, ids),
+                                   rtol=1e-6)
+        grads = jnp.ones((8, 16))
+        new = table.apply_grads(state, ids, grads, lr=0.1)
+        # ids 0,1,7 share a pack line on shards 0,1,7... verify only the
+        # touched logical rows moved
+        moved = table.debug_read(new.table, ids)
+        before = table.debug_read(state.table, ids)
+        assert np.all(np.abs(moved - before) > 0)
+        untouched = jnp.array([2, 3, 100, 513], jnp.int32)
+        np.testing.assert_allclose(
+            table.debug_read(new.table, untouched),
+            table.debug_read(state.table, untouched))

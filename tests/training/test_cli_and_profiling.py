@@ -13,7 +13,12 @@ from rec_now_tpu.core.profiling import (annotate, guard_finite,
 
 class TestCLI:
     def test_fm_smoke(self, tmp_path):
-        """The CLI trains a few steps and prints final eval JSON."""
+        """The CLI trains a few steps and prints final eval JSON.
+
+        Note: jit compilation in the subprocess takes ~5 min on the
+        2-vCPU box; under heavy concurrent load this can brush the
+        timeout (load flake, not a product failure).
+        """
         out = subprocess.run(
             [sys.executable, "-m", "rec_now_tpu.train",
              "--model", "fm", "--steps", "4", "--batch-size", "64",
