@@ -186,12 +186,23 @@ def listwise_loss(group_ids: jnp.ndarray,
                   labels: jnp.ndarray,
                   logits: jnp.ndarray,
                   pos_neg_th: float = 0.5,
-                  value_of_masked_logit: float = -1e9) -> jnp.ndarray:
+                  value_of_masked_logit: float = -1e9,
+                  use_pallas: Optional[bool] = None) -> jnp.ndarray:
     """End-to-end in-batch listwise loss: extract groups then softmax-CE.
 
     Convenience composition of :func:`to_listwise_sample` and
-    :func:`listwise_loss_via_softmax_cross_entropy_with_logits`.
+    :func:`listwise_loss_via_softmax_cross_entropy_with_logits`; on TPU
+    (default logit-mask value) it dispatches to the Pallas kernel with
+    O(B) HBM traffic (ops/pallas/listwise_kernel.py).
     """
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() == "tpu"
+                      and value_of_masked_logit == -1e9)
+    if use_pallas:
+        from rec_now_tpu.ops.pallas.listwise_kernel import (
+            listwise_loss_pallas)
+        return listwise_loss_pallas(group_ids, labels, logits,
+                                    pos_neg_th=pos_neg_th)
     lw = to_listwise_sample(group_ids, labels, logits,
                             do_mask_logits=True,
                             value_of_masked_logit=value_of_masked_logit,

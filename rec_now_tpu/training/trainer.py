@@ -184,13 +184,19 @@ class Trainer:
                     n_pair = jax.lax.psum(n_pair, axis_name)
                 out["pairwise"] = pl_sum / (n_pair + 1e-10)
             if cfg.listwise_weight != 0.0:
-                lw = to_listwise_sample(groups, labels, logits)
-                row_losses = \
-                    listwise_loss_via_softmax_cross_entropy_with_logits(
-                        lw.labels, lw.logits, do_reduce=False,
-                        row_valid=lw.row_valid)
-                lsum = jnp.sum(row_losses)
-                lcount = jnp.sum(lw.row_valid.astype(jnp.float32))
+                if jax.default_backend() == "tpu":
+                    from rec_now_tpu.ops.pallas.listwise_kernel import (
+                        listwise_loss_pallas)
+                    lsum, lcount = listwise_loss_pallas(
+                        groups, labels, logits, reduce_mean=False)
+                else:
+                    lw = to_listwise_sample(groups, labels, logits)
+                    row_losses = \
+                        listwise_loss_via_softmax_cross_entropy_with_logits(
+                            lw.labels, lw.logits, do_reduce=False,
+                            row_valid=lw.row_valid)
+                    lsum = jnp.sum(row_losses)
+                    lcount = jnp.sum(lw.row_valid.astype(jnp.float32))
                 if axis_name:
                     lsum = jax.lax.psum(lsum, axis_name)
                     lcount = jax.lax.psum(lcount, axis_name)
