@@ -122,6 +122,66 @@ class TestShardedUpdate:
         spec = state.table.sharding.spec
         assert len(spec) >= 1 and spec[0] == "data", spec
 
+    @pytest.mark.parametrize("optimizer", ["adagrad", "adam"])
+    def test_dense_matches_sparse(self, mesh, optimizer):
+        """update_mode='dense' == 'sparse' exactly (same dedup math)."""
+        kw = dict(vocab_size=128, dim=4, mesh=mesh, optimizer=optimizer)
+        sp = ShardedEmbeddingTable(update_mode="sparse", **kw)
+        de = ShardedEmbeddingTable(update_mode="dense", **kw)
+        assert sp.update_mode == "sparse" and de.update_mode == "dense"
+        st_sp = sp.init(KEY)
+        st_de = de.init(KEY)
+        ids = jnp.array([[1, 5, 1, 8], [63, 5, 5, 2], [127, 0, 0, 1]],
+                        jnp.int32)
+        rng = jax.random.PRNGKey(3)
+        for step in range(3):
+            rng, k = jax.random.split(rng)
+            grads = jax.random.normal(k, ids.shape + (4,))
+            st_sp = sp.apply_grads(st_sp, ids, grads, lr=0.1)
+            st_de = de.apply_grads(st_de, ids, grads, lr=0.1)
+        all_ids = np.arange(sp.vocab_size)
+        np.testing.assert_allclose(
+            sp.debug_read(st_sp.table, all_ids),
+            de.debug_read(st_de.table, all_ids), rtol=1e-5, atol=1e-6)
+        if optimizer == "adam":
+            np.testing.assert_allclose(
+                sp.debug_read(st_sp.m, all_ids),
+                de.debug_read(st_de.m, all_ids), rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(
+                sp.debug_read(st_sp.v, all_ids),
+                de.debug_read(st_de.v, all_ids), rtol=1e-5, atol=1e-6)
+        else:
+            np.testing.assert_allclose(
+                sp.debug_read(st_sp.accumulator, all_ids),
+                de.debug_read(st_de.accumulator, all_ids),
+                rtol=1e-5, atol=1e-6)
+
+    def test_dense_valid_mask(self, mesh):
+        """Masked entries are no-ops in dense mode, like sparse mode."""
+        kw = dict(vocab_size=64, dim=4, mesh=mesh)
+        sp = ShardedEmbeddingTable(update_mode="sparse", **kw)
+        de = ShardedEmbeddingTable(update_mode="dense", **kw)
+        st_sp, st_de = sp.init(KEY), de.init(KEY)
+        ids = jnp.array([3, 9, 3, 40], jnp.int32)
+        mask = jnp.array([True, False, True, True])
+        grads = jax.random.normal(jax.random.PRNGKey(4), (4, 4))
+        st_sp = sp.apply_grads(st_sp, ids, grads, lr=0.1, valid_mask=mask)
+        st_de = de.apply_grads(st_de, ids, grads, lr=0.1, valid_mask=mask)
+        all_ids = np.arange(sp.vocab_size)
+        np.testing.assert_allclose(
+            sp.debug_read(st_sp.table, all_ids),
+            de.debug_read(st_de.table, all_ids), rtol=1e-5, atol=1e-6)
+        # masked id 9 must be untouched
+        np.testing.assert_allclose(
+            de.debug_read(st_de.table, np.array([9])),
+            de.debug_read(de.init(KEY).table, np.array([9])))
+
+    def test_auto_mode_thresholds(self, mesh):
+        small = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh)
+        assert small.update_mode == "dense"
+        big = ShardedEmbeddingTable(vocab_size=2 ** 31, dim=16, mesh=mesh)
+        assert big.update_mode == "sparse"
+
     def test_packed_dim16(self, mesh):
         """dim=16 -> pack 8: lookup/update round-trip stays exact."""
         table = ShardedEmbeddingTable(vocab_size=1024, dim=16, mesh=mesh)
