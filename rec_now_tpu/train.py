@@ -43,6 +43,11 @@ def main(argv=None):
     p.add_argument("--sparse-lr", type=float, default=0.05)
     p.add_argument("--sparse-optimizer", default="adagrad",
                    choices=["adagrad", "adam"])
+    p.add_argument("--sparse-update-mode", default="auto",
+                   choices=["auto", "sparse", "dense"],
+                   help="embedding optimizer apply strategy: sparse = "
+                        "rows-touched-only scatter, dense = whole-shard "
+                        "streaming passes, auto = by local shard size")
     p.add_argument("--scan-window", type=int, default=0,
                    help="run this many steps per on-device lax.scan "
                         "dispatch (0 = one dispatch per step)")
@@ -57,6 +62,13 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-file", default=None,
+                   help="Criteo-format TSV to train from (native "
+                        "multi-threaded parser); default: synthetic "
+                        "planted-model stream")
+    p.add_argument("--num-groups", type=int, default=50_000,
+                   help="group-id hash space for --data-file (in-batch "
+                        "pairwise/listwise grouping key)")
     args = p.parse_args(argv)
 
     import jax
@@ -75,19 +87,32 @@ def main(argv=None):
         click_occurance_power=args.occurance_power,
         dense_lr=args.dense_lr, sparse_lr=args.sparse_lr,
         sparse_optimizer=args.sparse_optimizer,
+        sparse_update_mode=args.sparse_update_mode,
         num_tasks=num_tasks)
     mesh = make_mesh()
     trainer = Trainer(model, fc, cfg, mesh=mesh)
-    data = SyntheticCriteo(rows_per_field=args.rows_per_field,
-                           seed=args.seed)
+    if args.data_file:
+        from rec_now_tpu.io import CriteoTSV
+        ds = CriteoTSV(args.data_file,
+                       rows_per_field=args.rows_per_field,
+                       num_groups=args.num_groups)
+
+        def make_batches(n, seed):
+            return ds.batches(args.batch_size, n)
+    else:
+        data = SyntheticCriteo(rows_per_field=args.rows_per_field,
+                               seed=args.seed)
+
+        def make_batches(n, seed):
+            return data.batches(args.batch_size, n, seed=seed)
 
     ckpt = None
     if args.checkpoint_dir:
         from rec_now_tpu.training.checkpoint import CheckpointManager
         ckpt = CheckpointManager(args.checkpoint_dir)
 
-    batches = data.batches(args.batch_size, args.steps, seed=args.seed + 1)
-    first = next(data.batches(args.batch_size, 1, seed=args.seed + 1))
+    batches = make_batches(args.steps, args.seed + 1)
+    first = next(make_batches(1, args.seed + 1))
     state = trainer.init(jax.random.PRNGKey(args.seed), first)
 
     t0 = time.perf_counter()
@@ -126,16 +151,14 @@ def main(argv=None):
             print(json.dumps(line), flush=True)
         if args.eval_every and step % args.eval_every == 0:
             res = trainer.evaluate(
-                state, data.batches(args.batch_size, args.eval_batches,
-                                    seed=args.seed + 999))
+                state, make_batches(args.eval_batches, args.seed + 999))
             print(json.dumps({"step": step, "eval": res}), flush=True)
         if ckpt and args.checkpoint_every \
                 and step % args.checkpoint_every == 0:
             ckpt.save(step, state)
 
     res = trainer.evaluate(
-        state, data.batches(args.batch_size, args.eval_batches,
-                            seed=args.seed + 999))
+        state, make_batches(args.eval_batches, args.seed + 999))
     print(json.dumps({"final_eval": res,
                       "steps": args.steps,
                       "model": args.model}), flush=True)

@@ -54,6 +54,7 @@ class TrainerConfig:
     dense_lr: float = 1e-3
     sparse_lr: float = 0.05
     sparse_optimizer: str = "adagrad"   # "adagrad" | "adam" (lazy, rowwise)
+    sparse_update_mode: str = "auto"    # "auto" | "sparse" | "dense"
     num_tasks: int = 1          # >1: multi-task (CTR + CVR) heads
     # CAN co-action (benchmark config #5): when set, a second sharded
     # table holds per-item co-action DNN parameters, looked up by this
@@ -92,7 +93,8 @@ class Trainer:
         self.table = ShardedEmbeddingTable(
             vocab_size=feature_config.total_rows,
             dim=feature_config.embedding_dim, mesh=self.mesh,
-            optimizer=config.sparse_optimizer)
+            optimizer=config.sparse_optimizer,
+            update_mode=config.sparse_update_mode)
         self.can_table = None
         if config.can_param_field is not None:
             from rec_now_tpu.models.can_dcn_model import CANDCNModel
@@ -104,7 +106,8 @@ class Trainer:
             self.can_table = ShardedEmbeddingTable(
                 vocab_size=feature_config.rows_per_field, dim=can_dim,
                 mesh=self.mesh, initializer_scale=0.05,
-                optimizer=config.sparse_optimizer)
+                optimizer=config.sparse_optimizer,
+                update_mode=config.sparse_update_mode)
         self.tx = optax.adam(config.dense_lr)
         self._train_step = None
         self._train_many = None
