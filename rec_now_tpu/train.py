@@ -140,8 +140,10 @@ def main(argv=None):
             state, mseq = trainer.train_many(state, buf)
             step += len(buf)
         batches = []
-    for i, batch in enumerate(batches):
-        state, metrics = trainer.train_step(state, *trainer.put(batch))
+    from rec_now_tpu.training.prefetch import DevicePrefetcher
+    for i, dev_batch in enumerate(DevicePrefetcher(batches,
+                                                   trainer.put)):
+        state, metrics = trainer.train_step(state, *dev_batch)
         step = i + 1
         if args.log_every and step % args.log_every == 0:
             jax.block_until_ready(metrics["loss"])

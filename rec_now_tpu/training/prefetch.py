@@ -1,0 +1,98 @@
+"""Asynchronous host-side input prefetching.
+
+New scope relative to the reference (no data pipeline — SURVEY.md §2.4).
+Overlaps the three stages of input feeding with TPU compute:
+
+  1. parse: the native TSV parser (io/native) or synthetic generator
+     runs on a background thread — the C library releases the GIL, so
+     parsing genuinely overlaps Python dispatch;
+  2. transfer: ``trainer.put`` (host->HBM copy with batch-axis
+     sharding) also happens on the background thread, so the copy for
+     step k+1 rides under step k's compute;
+  3. consume: the training loop pops ready device batches from a
+     bounded queue.
+
+With ``depth=2`` (double buffering) a loop whose parse+transfer time is
+below the step time sees zero input stall.  The queue is bounded so a
+fast producer cannot run the host out of memory.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+_END = object()
+
+
+class DevicePrefetcher:
+    """Iterate device-ready batches, produced ahead on a worker thread.
+
+    Args:
+        batches: host-batch iterable (e.g. ``CriteoTSV.batches(...)`` or
+            ``SyntheticCriteo.batches(...)``).
+        put: host->device placement function (``trainer.put``); executed
+            on the worker thread.
+        depth: max batches staged ahead (2 = classic double buffering).
+
+    Usage::
+
+        for dev_batch in DevicePrefetcher(ds.batches(8192, steps),
+                                          trainer.put):
+            state, metrics = trainer.train_step(state, *dev_batch)
+
+    Exceptions raised by the producer (parser errors, bad files) are
+    re-raised in the consumer thread at the point of iteration.
+    """
+
+    def __init__(self, batches: Iterable, put: Callable,
+                 depth: int = 2):
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err: Optional[BaseException] = None
+        self._stop = threading.Event()
+
+        def worker():
+            try:
+                for b in batches:
+                    if self._stop.is_set():
+                        return
+                    self._q.put(put(b))
+            except BaseException as e:  # re-raised on the consumer side
+                self._err = e
+            finally:
+                self._q.put(_END)
+
+        self._thread = threading.Thread(target=worker, daemon=True,
+                                        name="rec_now_tpu-prefetch")
+        self._thread.start()
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self._q.get()
+            if item is _END:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+    def close(self) -> None:
+        """Stop the producer and drain (for early loop exit)."""
+        self._stop.set()
+        while True:
+            try:
+                if self._q.get_nowait() is _END:
+                    break
+            except queue.Empty:
+                if not self._thread.is_alive():
+                    break
+                threading.Event().wait(0.01)
+        self._thread.join(timeout=5)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -1,0 +1,98 @@
+"""Tests for the async device prefetcher."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from rec_now_tpu.training.prefetch import DevicePrefetcher
+
+
+class TestDevicePrefetcher:
+    def test_yields_all_in_order(self):
+        items = list(range(20))
+        got = list(DevicePrefetcher(iter(items), lambda x: x * 10,
+                                    depth=3))
+        assert got == [x * 10 for x in items]
+
+    def test_put_runs_on_worker_thread(self):
+        main = threading.current_thread().name
+        seen = []
+
+        def put(x):
+            seen.append(threading.current_thread().name)
+            return x
+
+        list(DevicePrefetcher([1, 2, 3], put))
+        assert all(n != main for n in seen)
+
+    def test_bounded_queue_backpressure(self):
+        produced = []
+
+        def gen():
+            for i in range(100):
+                produced.append(i)
+                yield i
+
+        pf = DevicePrefetcher(gen(), lambda x: x, depth=2)
+        time.sleep(0.2)
+        # producer is blocked well before 100 (queue holds depth + the
+        # one item waiting in put())
+        assert len(produced) <= 5
+        assert list(pf) == list(range(100))
+
+    def test_producer_exception_reraised(self):
+        def gen():
+            yield 1
+            raise ValueError("bad row")
+
+        it = iter(DevicePrefetcher(gen(), lambda x: x))
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="bad row"):
+            list(it)
+
+    def test_close_early(self):
+        def gen():
+            for i in range(10_000):
+                yield i
+
+        pf = DevicePrefetcher(gen(), lambda x: x, depth=2)
+        it = iter(pf)
+        assert next(it) == 0
+        pf.close()  # must not hang
+
+    def test_overlap_actually_happens(self):
+        """Producer makes progress while the consumer sleeps."""
+        stamps = []
+
+        def put(x):
+            stamps.append(time.perf_counter())
+            return x
+
+        pf = DevicePrefetcher(range(3), put, depth=2)
+        it = iter(pf)
+        next(it)
+        time.sleep(0.15)  # "compute"
+        # by now the worker has staged the remaining items
+        assert len(stamps) == 3
+        assert list(it) == [1, 2]
+
+    def test_with_trainer_put(self):
+        """End-to-end with the real Trainer.put on the CPU mesh."""
+        import jax
+        from rec_now_tpu.models import FeatureConfig
+        from rec_now_tpu.models.fm_model import FMModel
+        from rec_now_tpu.training import (SyntheticCriteo, Trainer,
+                                          TrainerConfig)
+
+        fc = FeatureConfig(rows_per_field=512, embedding_dim=4)
+        tr = Trainer(FMModel(), fc, TrainerConfig())
+        data = SyntheticCriteo(rows_per_field=512, num_users=64)
+        batch = next(data.batches(64, 1))
+        state = tr.init(jax.random.PRNGKey(0), batch)
+        losses = []
+        with DevicePrefetcher(data.batches(64, 4), tr.put) as pf:
+            for dev in pf:
+                state, metrics = tr.train_step(state, *dev)
+                losses.append(float(metrics["loss"]))
+        assert len(losses) == 4 and np.all(np.isfinite(losses))
