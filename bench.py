@@ -46,20 +46,27 @@ def main():
         mesh=mesh)
     data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
 
-    # the training window runs as ONE on-device lax.scan (production
-    # inner loop); timing forces a scalar fetch, which the remote
-    # runtime cannot elide (block_until_ready on donated buffers is
-    # unreliable over the TPU tunnel).
+    # production inner loop: windows of WINDOW steps each run as ONE
+    # on-device lax.scan while the next window's compressed batch
+    # (training/wire.py: bit-packed ids + f16 dense, 2x fewer wire
+    # bytes) transfers in flight — steady state = max(compute, wire),
+    # not their sum.  Timing includes host packing + transfer + compute
+    # and forces a scalar fetch at the end, which the remote runtime
+    # cannot elide (block_until_ready on donated buffers is unreliable
+    # over the TPU tunnel).
+    window = int(os.environ.get("BENCH_WINDOW", 5))
     host_batches = list(data.batches(BATCH, STEPS_MEASURE, seed=1))
     state = trainer.init(jax.random.PRNGKey(0), data.sample(
         BATCH, __import__("numpy").random.RandomState(0)))
 
     # warm up with the same window length so there is exactly one compile
-    state, metrics_seq = trainer.train_many(state, host_batches)
+    state, metrics_seq = trainer.train_pipelined(
+        state, data.batches(BATCH, window, seed=2), window=window)
     float(metrics_seq["loss"][-1])
 
     t0 = time.perf_counter()
-    state, metrics_seq = trainer.train_many(state, host_batches)
+    state, metrics_seq = trainer.train_pipelined(state, host_batches,
+                                                 window=window)
     final_loss = float(metrics_seq["loss"][-1])   # forces completion
     dt = (time.perf_counter() - t0) / STEPS_MEASURE
     metrics = {k: v[-1] for k, v in metrics_seq.items()}

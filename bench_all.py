@@ -19,7 +19,7 @@ import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 STEPS = int(os.environ.get("BENCH_STEPS", 15))
-WARMUP = 3
+WINDOW = int(os.environ.get("BENCH_WINDOW", 5))
 
 
 def bench_one(name, model, cfg, rows_per_field=100_000):
@@ -35,22 +35,25 @@ def bench_one(name, model, cfg, rows_per_field=100_000):
     trainer = Trainer(model, fc, cfg, mesh=mesh)
     data = SyntheticCriteo(rows_per_field=rows_per_field,
                            num_users=50_000)
-    batches = [trainer.put(b) for b in data.batches(BATCH, 4, seed=1)]
+    # pipelined windows (transfer/compute overlap), fetch-forced timing
+    # -- block_until_ready on donated buffers is unreliable over the
+    # axon tunnel (BASELINE.md)
+    host_batches = list(data.batches(BATCH, STEPS, seed=1))
     state = trainer.init(jax.random.PRNGKey(0),
                          data.sample(BATCH, np.random.RandomState(0)))
-    for i in range(WARMUP):
-        state, metrics = trainer.train_step(state, *batches[i % 4])
-    jax.block_until_ready(state.table.table)
+    state, mseq = trainer.train_pipelined(
+        state, data.batches(BATCH, WINDOW, seed=2), window=WINDOW)
+    float(mseq["loss"][-1])
     t0 = time.perf_counter()
-    for i in range(STEPS):
-        state, metrics = trainer.train_step(state, *batches[i % 4])
-    jax.block_until_ready(state.table.table)
+    state, mseq = trainer.train_pipelined(state, host_batches,
+                                          window=WINDOW)
+    float(mseq["loss"][-1])
     dt = (time.perf_counter() - t0) / STEPS
     return {
         "config": name,
         "examples_per_sec_per_chip": round(BATCH / dt / num_devices, 1),
         "step_ms": round(dt * 1e3, 3),
-        "loss": round(float(metrics["loss"]), 4),
+        "loss": round(float(mseq["loss"][-1]), 4),
     }
 
 

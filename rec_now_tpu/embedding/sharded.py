@@ -444,6 +444,12 @@ class ShardedEmbeddingTable:
             rows = jnp.where(mine, all_ids // n, 0)
             g = all_grads * mine.astype(all_grads.dtype)[:, None]
             dense_g = self._scatter_dense_grads(table_local, rows, g)
+            if jax.default_backend() == "tpu" and self.pack > 1:
+                from rec_now_tpu.ops.pallas.table_update_kernel import (
+                    adagrad_dense_pass)
+                return adagrad_dense_pass(table_local, acc_local,
+                                          dense_g, lr=lr,
+                                          pack=self.pack, dim=self.dim)
             vp_l, width = table_local.shape
             gl = dense_g.reshape(vp_l, self.pack, self.dim)
             sq = jnp.mean(jnp.square(gl), axis=2)          # (VPl, P)
@@ -492,6 +498,13 @@ class ShardedEmbeddingTable:
             cnt = jnp.zeros(
                 (table_local.shape[0], self.pack),
                 table_local.dtype).at[pr_s].add(cnt_lines)
+            if jax.default_backend() == "tpu" and self.pack > 1:
+                from rec_now_tpu.ops.pallas.table_update_kernel import (
+                    adam_dense_pass)
+                return adam_dense_pass(table_local, m_local, v_local,
+                                       dense_g, cnt, t, lr=lr, b1=b1,
+                                       b2=b2, eps=eps, pack=self.pack,
+                                       dim=self.dim)
             touched = (cnt > 0)[:, :, None]                # (VPl, P, 1)
 
             vp_l, width = table_local.shape

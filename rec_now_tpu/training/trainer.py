@@ -41,6 +41,7 @@ from rec_now_tpu.models.feature_config import FeatureConfig
 from rec_now_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from rec_now_tpu.training.data import Batch
 from rec_now_tpu.training.metrics import StreamingGAUC
+from rec_now_tpu.training.wire import PackedBatch, WireFormat
 
 
 @dataclasses.dataclass(frozen=True)
@@ -352,6 +353,72 @@ class Trainer:
             return jax.device_put(jnp.asarray(x),
                                   NamedSharding(self.mesh, spec))
         return self._train_many(state, *[shard(x) for x in stacked])
+
+    # -- packed wire path --------------------------------------------------
+    @property
+    def wire(self) -> WireFormat:
+        """Wire format bound to this trainer's feature layout."""
+        if getattr(self, "_wire", None) is None:
+            self._wire = WireFormat(self.fc.num_sparse,
+                                    self.fc.rows_per_field)
+        return self._wire
+
+    def put_packed_window(self, batches) -> PackedBatch:
+        """Compress a window of host batches and start its transfer.
+
+        Packing is vectorized numpy; ``jax.device_put`` dispatches the
+        (much smaller) transfer asynchronously, so calling this for
+        window k+1 right after dispatching window k overlaps the wire
+        with compute — the production double-buffering loop.
+        """
+        packed = self.wire.pack_window(batches)
+
+        def shard(x):
+            spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+            return jax.device_put(jnp.asarray(x),
+                                  NamedSharding(self.mesh, spec))
+        return PackedBatch(*[shard(x) for x in packed])
+
+    def _build_train_many_packed(self):
+        wire = self.wire
+
+        def many(state: TrainState, packed: PackedBatch):
+            def body(state, xs):
+                state, metrics = self._step_body(state, *wire.decode(xs))
+                return state, metrics
+            return jax.lax.scan(body, state, packed)
+        return jax.jit(many, donate_argnums=(0,))
+
+    def train_many_packed(self, state: TrainState, packed: PackedBatch
+                          ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Scan a whole pre-transferred packed window on device."""
+        if getattr(self, "_train_many_packed", None) is None:
+            self._train_many_packed = self._build_train_many_packed()
+        return self._train_many_packed(state, packed)
+
+    def train_pipelined(self, state: TrainState, host_batches,
+                        window: int = 5
+                        ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        """Windowed training with transfer/compute overlap.
+
+        Splits ``host_batches`` into windows of ``window`` steps; each
+        window runs as one on-device scan while the next window's packed
+        transfer is in flight.  Steady-state throughput is
+        max(compute, wire) instead of their sum.
+
+        Returns (final state, last window's stacked metrics).
+        """
+        batches = list(host_batches)
+        windows = [batches[i:i + window]
+                   for i in range(0, len(batches), window)]
+        dev = self.put_packed_window(windows[0])
+        metrics_seq = None
+        for i in range(len(windows)):
+            nxt = (self.put_packed_window(windows[i + 1])
+                   if i + 1 < len(windows) else None)
+            state, metrics_seq = self.train_many_packed(state, dev)
+            dev = nxt
+        return state, metrics_seq
 
     # -- loops -------------------------------------------------------------
     def fit(self, state: TrainState, batches,
