@@ -44,6 +44,38 @@ def _multi_dense_jit(inputs, kernel, bias, activation):
     return multi_dense_xla(inputs, kernel, bias, activation)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _multi_dense_fused(inputs, kernel, bias, activation):
+    """Pallas forward with an XLA-derived backward.
+
+    pallas_call has no automatic autodiff; the backward differentiates
+    the mathematically identical XLA formulation at the saved inputs —
+    batched matmuls XLA already schedules optimally, so only the
+    forward (where the fused bias+activation epilogue saves an HBM
+    round trip) needs the custom kernel.
+    """
+    from rec_now_tpu.ops.pallas.multi_dense_kernel import (
+        multi_dense_pallas)
+    return multi_dense_pallas(inputs, kernel, bias, activation)
+
+
+def _multi_dense_fused_fwd(inputs, kernel, bias, activation):
+    return (_multi_dense_fused(inputs, kernel, bias, activation),
+            (inputs, kernel, bias))
+
+
+def _multi_dense_fused_bwd(activation, residuals, g):
+    inputs, kernel, bias = residuals
+    _, vjp = jax.vjp(
+        lambda i, k, b: multi_dense_xla(i, k, b, activation),
+        inputs, kernel, bias)
+    return vjp(g)
+
+
+_multi_dense_fused.defvjp(_multi_dense_fused_fwd,
+                          _multi_dense_fused_bwd)
+
+
 def multi_dense_apply(inputs: jnp.ndarray,
                       kernel: jnp.ndarray,
                       bias: Optional[jnp.ndarray] = None,
@@ -66,7 +98,8 @@ def multi_dense_apply(inputs: jnp.ndarray,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if use_pallas:
-        from rec_now_tpu.ops.pallas.multi_dense_kernel import (
-            multi_dense_pallas)
-        return multi_dense_pallas(inputs, kernel, bias, activation)
+        if bias is None:  # concrete zeros so the VJP pytree is uniform
+            bias = jnp.zeros((kernel.shape[0], 1, kernel.shape[2]),
+                             kernel.dtype)
+        return _multi_dense_fused(inputs, kernel, bias, activation)
     return multi_dense_xla(inputs, kernel, bias, activation)

@@ -38,13 +38,16 @@ def _tile_rows(g_rows, g_cols, lab_cols, x_cols, i0, pos_neg_th):
     row = jax.lax.broadcasted_iota(jnp.int32, (r, b), 0) + i0
     member_f = member.astype(jnp.float32)
 
+    # all row reductions keep dims: Mosaic's relayout of 1-D (R,)
+    # vectors out of 2-D reductions is buggy/unsupported — (R, 1)
+    # shapes stay in natural layouts (mirrors pairwise_kernel.py)
     earlier = jnp.logical_and(member, col < row)
-    first_occ = jnp.logical_not(jnp.any(earlier, axis=1))
+    first_occ = jnp.logical_not(jnp.any(earlier, axis=1, keepdims=True))
     lab_row = lab_cols[None, :] * member_f
-    has_pos = jnp.any(lab_row > pos_neg_th, axis=1)
+    has_pos = jnp.any(lab_row > pos_neg_th, axis=1, keepdims=True)
     has_neg = jnp.any((lab_cols[None, :] - pos_neg_th) * member_f < 0.0,
-                      axis=1)
-    valid = first_occ & has_pos & has_neg
+                      axis=1, keepdims=True)
+    valid = first_occ & has_pos & has_neg                  # (R, 1)
 
     lsum = jnp.sum(lab_row, axis=1, keepdims=True)
     p = lab_row / jnp.where(lsum == 0.0, 1.0, lsum)
@@ -68,9 +71,10 @@ def _lw_fwd_impl(logits, labels, groups, pos_neg_th):
         valid, p, z = _tile_rows(gr[0, 0], gf[0], lf[0], xf[0], i0,
                                  pos_neg_th)
         zmax = jnp.max(z, axis=1, keepdims=True)
-        lse = jnp.log(jnp.sum(jnp.exp(z - zmax), axis=1)) + zmax[:, 0]
-        ce = lse - jnp.sum(p * z, axis=1)                  # (R,)
-        vf = valid.astype(jnp.float32)
+        lse = jnp.log(jnp.sum(jnp.exp(z - zmax), axis=1,
+                              keepdims=True)) + zmax       # (R, 1)
+        ce = lse - jnp.sum(p * z, axis=1, keepdims=True)   # (R, 1)
+        vf = valid.astype(jnp.float32)                     # (R, 1)
 
         @pl.when(step == 0)
         def _():
@@ -112,12 +116,13 @@ def _lw_bwd(pos_neg_th, residuals, cotangents):
         zmax = jnp.max(z, axis=1, keepdims=True)
         ez = jnp.exp(z - zmax)
         soft = ez / jnp.sum(ez, axis=1, keepdims=True)     # (R, B)
-        vf = valid.astype(jnp.float32)[:, None]
+        vf = valid.astype(jnp.float32)                     # (R, 1)
 
         @pl.when(step == 0)
         def _():
             dcol_ref[...] = jnp.zeros_like(dcol_ref)
-        dcol_ref[...] += jnp.sum((soft - p) * vf, axis=0)[None, :]
+        dcol_ref[...] += jnp.sum((soft - p) * vf, axis=0,
+                                 keepdims=True)            # (1, B)
 
     dcol = pl.pallas_call(
         kernel,

@@ -77,3 +77,51 @@ class TestMultiDenseKernel:
         expected = multi_dense_xla(x, w, None, None)
         np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
                                    rtol=1e-4, atol=1e-5)
+
+
+class TestMultiDenseGrad:
+    """The fused Pallas forward must be differentiable (custom VJP
+    through the XLA formulation) — config #4 trains through it."""
+
+    def test_grads_match_xla(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from rec_now_tpu.ops.multi_dense_op import (multi_dense_apply,
+                                                    multi_dense_xla)
+
+        key = jax.random.PRNGKey(0)
+        x = jax.random.normal(key, (4, 32, 16))
+        w = jax.random.normal(key, (4, 16, 8)) * 0.3
+        b = jax.random.normal(key, (4, 1, 8)) * 0.1
+
+        def loss_pl(x, w, b):
+            return jnp.mean(jnp.square(multi_dense_apply(
+                x, w, b, activation=jnp.tanh, use_pallas=True)))
+
+        def loss_x(x, w, b):
+            return jnp.mean(jnp.square(multi_dense_xla(
+                x, w, b, jnp.tanh)))
+
+        gp = jax.grad(loss_pl, argnums=(0, 1, 2))(x, w, b)
+        gx = jax.grad(loss_x, argnums=(0, 1, 2))(x, w, b)
+        for a, c in zip(gp, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_grads_no_bias_shared_input(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from rec_now_tpu.ops.multi_dense_op import multi_dense_apply
+
+        key = jax.random.PRNGKey(1)
+        x = jax.random.normal(key, (16, 8))      # shared 2-D input
+        w = jax.random.normal(key, (3, 8, 4))
+
+        def loss(x, w):
+            return jnp.sum(multi_dense_apply(x, w, use_pallas=True))
+
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, w)
+        assert np.all(np.isfinite(np.asarray(gx)))
+        assert gx.shape == x.shape and gw.shape == w.shape
