@@ -5,30 +5,33 @@ The CIN hidden layer (rec_now/layers/cin_layer.py:103-108) is
     out[m, k] = sum_{f, h} W[k, f, h] * x0[m, f] * prev[m, h]
 
 with m ranging over the flattened (B, D) positions.  Any XLA pairwise
-contraction order materializes an (M, K, F) or (M, F, H) intermediate in
+contraction order materializes an (M, F, H) or (M, F, K) intermediate in
 HBM — ~F x the activation size (e.g. 872 MB at B=8192, D=16, F=26,
-H=K=64).  This kernel tiles M and computes each tile's contraction as a
-statically unrolled sum over the H axis,
+H=K=64).  This kernel tiles M and keeps the (TM, F*K) intermediate in
+VMEM, computing the whole tile as THREE MXU dots with zero lane
+shuffles:
 
-    out_tile = sum_h  diag(prev[:, h]) @ (x0_tile @ W[:, :, h]^T)
+    T[m, fK+k] = sum_h prev[m, h] * Wr[h, fK+k]     (MXU)   main dot
+    X[m, fK+k] = x0[m, f]          = x0 @ R         (MXU)   broadcast
+    out[m, k]  = sum_f T*X [m, fK+k] = (T.X) @ SEL  (MXU)   reduction
 
-i.e. H small MXU matmuls with a broadcast column scale — nothing but
-lane-aligned dots, slices and broadcasts, so Mosaic lowers it for ANY
-(F, H, K), including lane-unaligned ones like F=H=26 (a flattened
-``(TM, F*H)`` outer-product formulation needs a vector shape-cast
-Mosaic does not support).  The (M, F, H) intermediate never exists, in
-HBM or VMEM; HBM traffic is the theoretical minimum (read x0/prev
-tile, write out tile, W stays resident).
+where ``Wr`` is W reshaped to (H, F*K) and ``R`` (F, F*K) /
+``SEL`` (F*K, K) are constant 0/1 matrices (R[f, fK+k] = 1,
+SEL[fK+k', k] = [k'==k]).  Strided-lane slicing (``t[:, f*K:(f+1)*K]``)
+is NOT used anywhere: on TPU a non-128-aligned lane slice lowers to a
+whole-register lane rotate, and F of them per tile cost more than the
+matmuls themselves (measured: a slice-based epilogue made the kernel
+~6x slower than this all-MXU form).  Broadcast/reduction by 0/1 matmul
+rides the otherwise idle MXU instead.
 
-The backward pass (``_cin_flat_bwd``) uses the same loop structure per
-tile:
+The backward reuses the same identities (T is recomputed — one dot —
+rather than staged through HBM):
 
-    dx0   += prev[:, h] * (g @ W_h)          per h   (TM, F)
-    dprev[:, h] = rowsum((x0 @ W_h^T) * g)   per h   (TM,)
-    dW_h  += (x0 * prev[:, h])^T @ g         per h   (F, K), grid-summed
-
-with dprev columns assembled by one-hot outer products (no lane
-stores) and dW accumulated across the sequential TPU grid.
+    Gt    = g @ SEL^T            (TM, F*K)   g broadcast along F
+    dT    = Gt . X               dX = Gt . T
+    dx0   = dX @ R^T             (TM, F)
+    dprev = dT @ Wr^T            (TM, H)
+    dWr  += prev^T @ dT          (H, F*K)    grid-summed
 """
 from __future__ import annotations
 
@@ -36,52 +39,64 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_HIGH = jax.lax.Precision.HIGHEST
+# bf16 single-pass MXU: the CIN contraction feeds a channel sum + logit
+# head; bf16 mantissa noise is far below the loss's statistical floor
+# (AUC parity is re-verified end-to-end in tools/measure_auc_parity.py).
+_PREC = jax.lax.Precision.DEFAULT
 
 
-def _cin_tile_kernel(x0_ref, prev_ref, w_ref, out_ref):
-    """One M-tile: H broadcast-scaled MXU matmuls in VMEM.
+def _dot(a, b, dims):
+    # Explicit bf16 operands: Mosaic lowers f32 dots to multi-pass MXU
+    # even at DEFAULT precision; bf16-in/f32-accumulate is the native
+    # single-pass mode (~6x the f32 rate on v5e).
+    return jax.lax.dot_general(a.astype(jnp.bfloat16),
+                               b.astype(jnp.bfloat16),
+                               (dims, ((), ())), precision=_PREC,
+                               preferred_element_type=jnp.float32)
 
-    x0_ref: (TM, F), prev_ref: (TM, H), w_ref: (H, F, K),
-    out_ref: (TM, K).
+
+def _broadcast_mat(f: int, k: int) -> np.ndarray:
+    """R (F, F*K): X = x0 @ R repeats each x0 column K times."""
+    r = np.zeros((f, f * k), np.float32)
+    for i in range(f):
+        r[i, i * k:(i + 1) * k] = 1.0
+    return r
+
+
+def _select_mat(f: int, k: int) -> np.ndarray:
+    """SEL (F*K, K): out = t @ SEL sums lanes with equal k (mod K)."""
+    return np.tile(np.eye(k, dtype=np.float32), (f, 1))
+
+
+def _cin_tile_kernel(x0_ref, prev_ref, wr_ref, r_ref, sel_ref, out_ref):
+    """One M-tile forward: three MXU dots, everything in VMEM.
+
+    x0_ref: (TM, F), prev_ref: (TM, H), wr_ref: (H, F*K),
+    r_ref: (F, F*K), sel_ref: (F*K, K), out_ref: (TM, K).
     """
-    x0 = x0_ref[:]                                    # (TM, F)
-    prev = prev_ref[:]                                # (TM, H)
-    tm = x0.shape[0]
-    h = prev.shape[1]
-    k = out_ref.shape[1]
-
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
-
-    def body(j, acc):
-        # fori_loop (not Python unroll): one iteration's lane-padded
-        # temporaries live at a time — an unrolled loop keeps all H of
-        # them on the VMEM stack and OOMs for H ~ 26.  Column j of prev
-        # is extracted by a one-hot lane reduction (dynamic lane slices
-        # don't lower in Mosaic).
-        wj = w_ref[j]                                 # (F, K)
-        xw = jax.lax.dot_general(
-            x0, wj, (((1,), (0,)), ((), ())),
-            precision=_HIGH,
-            preferred_element_type=jnp.float32)       # (TM, K)
-        onehot = (lanes == j).astype(jnp.float32)     # (1, H)
-        pj = jnp.sum(prev * onehot, axis=1, keepdims=True)
-        return acc + pj * xw
-
-    acc = jax.lax.fori_loop(0, h, body, jnp.zeros((tm, k), jnp.float32))
-    out_ref[:] = acc.astype(out_ref.dtype)
+    t2 = _dot(prev_ref[:], wr_ref[:], (((1,), (0,))))   # (TM, F*K)
+    x = _dot(x0_ref[:], r_ref[:], (((1,), (0,))))       # (TM, F*K)
+    out = _dot(t2 * x, sel_ref[:], (((1,), (0,))))      # (TM, K)
+    out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _pick_tile_m(m: int, fh: int, k: int, dtype_bytes: int = 4,
-                 vmem_budget: int = 6 * 1024 * 1024) -> int:
-    """Largest power-of-two M tile whose buffers fit the VMEM budget
-    (x2 for pipelined double buffering)."""
+def _pick_tile_m(m: int, f: int, h: int, k: int, n_temps: int,
+                 vmem_budget: int = 13 * 1024 * 1024) -> int:
+    """Largest power-of-two M tile fitting the VMEM budget.
+
+    Dominant buffers: ``n_temps`` (TM, F*K) intermediates, the resident
+    (H|F, F*K) constant matrices, and the double-buffered i/o blocks.
+    """
+    fk = f * k
     tile = 1024
     while tile > 8:
-        need = (tile * fh * dtype_bytes * 2 + tile * k * dtype_bytes) * 2
+        need = (tile * fk * 4 * n_temps          # T/X/... temporaries
+                + (2 * h + f + k) * fk * 4       # Wr(+dWr), R, SEL
+                + tile * (2 * f + 2 * h + 2 * k) * 4 * 2)  # i/o blocks x2
         if need <= vmem_budget:
             return tile
         tile //= 2
@@ -104,13 +119,21 @@ def cin_flat(x0: jnp.ndarray, prev: jnp.ndarray,
     return _cin_flat_fwd_impl(x0, prev, weight)
 
 
+def _weight_to_wr(weight):
+    """(K, F, H) -> (H, F*K) with Wr[h, f*K + k] = W[k, f, h]."""
+    k, f, h = weight.shape
+    return jnp.transpose(weight, (2, 1, 0)).reshape(h, f * k)
+
+
 def _cin_flat_fwd_impl(x0, prev, weight):
     m, f = x0.shape
     h = prev.shape[1]
     k = weight.shape[0]
-    w_hfk = jnp.transpose(weight, (2, 1, 0))          # (H, F, K)
+    wr = _weight_to_wr(weight)                          # (H, F*K)
+    r = jnp.asarray(_broadcast_mat(f, k))
+    sel = jnp.asarray(_select_mat(f, k))
 
-    tile_m = _pick_tile_m(m, f * h, k)
+    tile_m = _pick_tile_m(m, f, h, k, n_temps=3)
     pad = -m % tile_m
     if pad:
         x0 = jnp.pad(x0, ((0, pad), (0, 0)))
@@ -125,18 +148,22 @@ def _cin_flat_fwd_impl(x0, prev, weight):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, f, k), lambda i: (0, 0, 0),
+            pl.BlockSpec((h, f * k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, f * k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f * k, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_m, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, k), x0.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * f * h * k + 2 * mp * h * k,
+            flops=2 * mp * f * k * (h + f + k),
             bytes_accessed=(mp * f + mp * h + k * f * h + mp * k) * 4,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
-    )(x0, prev, w_hfk)
+    )(x0, prev, wr, r, sel)
     if pad:
         out = out[:m]
     return out
@@ -146,69 +173,46 @@ def _cin_flat_fwd(x0, prev, weight):
     return _cin_flat_fwd_impl(x0, prev, weight), (x0, prev, weight)
 
 
-def _cin_bwd_tile_kernel(x0_ref, prev_ref, g_ref, w_ref,
-                         dx0_ref, dprev_ref, dw_ref):
-    """One M-tile of the CIN backward, fully fused in VMEM.
+def _cin_bwd_tile_kernel(x0_ref, prev_ref, g_ref, wr_ref, r_ref, sel_ref,
+                         dx0_ref, dprev_ref, dwr_ref):
+    """One M-tile of the CIN backward: six MXU dots, all in VMEM.
 
     x0_ref: (TM, F), prev_ref: (TM, H), g_ref: (TM, K),
-    w_ref: (H, F, K),
-    dx0_ref: (TM, F), dprev_ref: (TM, H), dw_ref: (H, F, K) grid-summed.
+    wr_ref: (H, F*K), r_ref: (F, F*K), sel_ref: (F*K, K),
+    dx0_ref: (TM, F), dprev_ref: (TM, H), dwr_ref: (H, F*K) grid-summed.
     """
-    x0 = x0_ref[:]                                    # (TM, F)
-    prev = prev_ref[:]                                # (TM, H)
-    g = g_ref[:]                                      # (TM, K)
-    tm, f = x0.shape
-    h = prev.shape[1]
+    x0 = x0_ref[:]                                      # (TM, F)
+    prev = prev_ref[:]                                  # (TM, H)
+    g = g_ref[:]                                        # (TM, K)
 
     @pl.when(pl.program_id(0) == 0)
     def _():
-        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dwr_ref[:] = jnp.zeros_like(dwr_ref)
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
-
-    def body(j, carry):
-        dx0, dprev = carry
-        wj = w_ref[j]                                 # (F, K)
-        onehot = (lanes == j).astype(jnp.float32)     # (1, H)
-        pj = jnp.sum(prev * onehot, axis=1, keepdims=True)
-        # dx0 += prev[:, j] * (g @ wj^T)
-        gw = jax.lax.dot_general(
-            g, wj, (((1,), (1,)), ((), ())),
-            precision=_HIGH,
-            preferred_element_type=jnp.float32)       # (TM, F)
-        dx0 = dx0 + pj * gw
-        # dprev[:, j] = rowsum((x0 @ wj) * g); placed via one-hot row
-        xw = jax.lax.dot_general(
-            x0, wj, (((1,), (0,)), ((), ())),
-            precision=_HIGH,
-            preferred_element_type=jnp.float32)       # (TM, K)
-        q = jnp.sum(xw * g, axis=1, keepdims=True)    # (TM, 1)
-        dprev = dprev + q * onehot                    # (TM, H)
-        # dW_j += (x0 * prev[:, j])^T @ g
-        dwj = jax.lax.dot_general(
-            x0 * pj, g, (((0,), (0,)), ((), ())),
-            precision=_HIGH,
-            preferred_element_type=jnp.float32)       # (F, K)
-        dw_ref[j] += dwj.astype(dw_ref.dtype)
-        return dx0, dprev
-
-    dx0, dprev = jax.lax.fori_loop(
-        0, h, body, (jnp.zeros((tm, f), jnp.float32),
-                     jnp.zeros((tm, h), jnp.float32)))
-    dx0_ref[:] = dx0.astype(dx0_ref.dtype)
-    dprev_ref[:] = dprev.astype(dprev_ref.dtype)
+    t2 = _dot(prev, wr_ref[:], (((1,), (0,))))          # recompute T
+    x = _dot(x0, r_ref[:], (((1,), (0,))))              # (TM, F*K)
+    gt = _dot(g, sel_ref[:], (((1,), (1,))))            # g tiled over F
+    dt2 = gt * x                                        # (TM, F*K)
+    dx0_ref[:] = _dot(gt * t2, r_ref[:], (((1,), (1,)))
+                      ).astype(dx0_ref.dtype)           # (TM, F)
+    dprev_ref[:] = _dot(dt2, wr_ref[:], (((1,), (1,)))
+                        ).astype(dprev_ref.dtype)       # (TM, H)
+    dwr_ref[:] += _dot(prev, dt2, (((0,), (0,)))
+                       ).astype(dwr_ref.dtype)          # (H, F*K)
 
 
 def _cin_flat_bwd(residuals, g):
-    """Pallas-fused backward: per tile, everything stays in VMEM and dW
+    """Pallas-fused backward: per tile, everything stays in VMEM and dWr
     accumulates across the (sequential) TPU grid."""
     x0, prev, weight = residuals
     m, f = x0.shape
     h = prev.shape[1]
     k = weight.shape[0]
-    w_hfk = jnp.transpose(weight, (2, 1, 0))          # (H, F, K)
+    wr = _weight_to_wr(weight)                          # (H, F*K)
+    r = jnp.asarray(_broadcast_mat(f, k))
+    sel = jnp.asarray(_select_mat(f, k))
 
-    tile_m = _pick_tile_m(m, f * h, k)
+    tile_m = _pick_tile_m(m, f, h, k, n_temps=5)
     pad = -m % tile_m
     if pad:
         x0p = jnp.pad(x0, ((0, pad), (0, 0)))
@@ -218,7 +222,7 @@ def _cin_flat_bwd(residuals, g):
         x0p, prevp, gp = x0, prev, g
     mp = x0p.shape[0]
 
-    dx0, dprev, dw_hfk = pl.pallas_call(
+    dx0, dprev, dwr = pl.pallas_call(
         _cin_bwd_tile_kernel,
         grid=(mp // tile_m,),
         in_specs=[
@@ -228,7 +232,11 @@ def _cin_flat_bwd(residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, k), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, f, k), lambda i: (0, 0, 0),
+            pl.BlockSpec((h, f * k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, f * k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f * k, k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -236,25 +244,25 @@ def _cin_flat_bwd(residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, h), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, f, k), lambda i: (0, 0, 0),
+            pl.BlockSpec((h, f * k), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((mp, f), x0.dtype),
             jax.ShapeDtypeStruct((mp, h), prev.dtype),
-            jax.ShapeDtypeStruct((h, f, k), jnp.float32),
+            jax.ShapeDtypeStruct((h, f * k), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=6 * mp * f * h * k,
+            flops=6 * mp * f * k * (h + f + k),
             bytes_accessed=(mp * (2 * f + 2 * h + 2 * k)
                             + 2 * k * f * h) * 4,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
-    )(x0p, prevp, gp, w_hfk)
+    )(x0p, prevp, gp, wr, r, sel)
     if pad:
         dx0 = dx0[:m]
         dprev = dprev[:m]
-    dw = jnp.transpose(dw_hfk, (2, 1, 0)).astype(weight.dtype)
+    dw = jnp.transpose(dwr.reshape(h, f, k), (2, 1, 0)).astype(weight.dtype)
     return dx0, dprev, dw
 
 
