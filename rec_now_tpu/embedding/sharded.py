@@ -113,8 +113,12 @@ class ShardedEmbeddingTable:
         local_bytes = (self.vocab_size // self.num_shards) * dim \
             * jnp.dtype(dtype).itemsize
         if update_mode == "auto":
+            # the dense pass streams table+state+grads: ~3 wide buffers
+            # for adagrad but ~7 for adam (t/m/v in+out + g), so scale
+            # the gate by the actually-streamed bytes per table byte.
+            streamed = local_bytes * (7 if optimizer == "adam" else 3) // 3
             update_mode = ("dense"
-                           if local_bytes <= self.DENSE_UPDATE_MAX_BYTES
+                           if streamed <= self.DENSE_UPDATE_MAX_BYTES
                            else "sparse")
         self.update_mode = update_mode
 
@@ -416,9 +420,19 @@ class ShardedEmbeddingTable:
     # ``update_mode`` ("auto" gates on local shard size).
 
     def _scatter_dense_grads(self, table_like, rows, g):
-        """Scatter (N, D) grads into a zeroed dense (V/P, P*D) buffer."""
+        """Scatter (N, D) grads into a zeroed dense (V/P, P*D) buffer.
+
+        On TPU the buffer is bf16: it is a full-table-sized intermediate,
+        so halving it halves the three largest HBM flows of the dense
+        update (zero-fill, scatter read-modify-write, optimizer-pass
+        read) — grads are O(1e-3) and feed an f32 update, so bf16's
+        8-bit mantissa is far below the batch-gradient noise floor.
+        CPU/interpret keeps f32 so golden equivalence tests stay exact.
+        """
         pr, lines = self._expand(rows, g)
-        return jnp.zeros_like(table_like).at[pr].add(lines)
+        dt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+              else table_like.dtype)
+        return jnp.zeros(table_like.shape, dt).at[pr].add(lines.astype(dt))
 
     def _apply_grads_adagrad_dense(self, state: ShardedTableState,
                                    ids: jnp.ndarray, grads: jnp.ndarray,
@@ -451,7 +465,8 @@ class ShardedEmbeddingTable:
                                           dense_g, lr=lr,
                                           pack=self.pack, dim=self.dim)
             vp_l, width = table_local.shape
-            gl = dense_g.reshape(vp_l, self.pack, self.dim)
+            gl = dense_g.astype(table_local.dtype).reshape(
+                vp_l, self.pack, self.dim)
             sq = jnp.mean(jnp.square(gl), axis=2)          # (VPl, P)
             new_acc = acc_local + sq
             scale = lr / jnp.sqrt(jnp.clip(new_acc, 1e-12))
@@ -508,7 +523,8 @@ class ShardedEmbeddingTable:
             touched = (cnt > 0)[:, :, None]                # (VPl, P, 1)
 
             vp_l, width = table_local.shape
-            gl = dense_g.reshape(vp_l, self.pack, self.dim)
+            gl = dense_g.astype(table_local.dtype).reshape(
+                vp_l, self.pack, self.dim)
             m3 = m_local.reshape(vp_l, self.pack, self.dim)
             v3 = v_local.reshape(vp_l, self.pack, self.dim)
             m_new = jnp.where(touched, b1 * m3 + (1 - b1) * gl, m3)

@@ -50,12 +50,12 @@ _PREC = jax.lax.Precision.DEFAULT
 
 
 def _dot(a, b, dims):
-    # Explicit bf16 operands: Mosaic lowers f32 dots to multi-pass MXU
-    # even at DEFAULT precision; bf16-in/f32-accumulate is the native
-    # single-pass mode (~6x the f32 rate on v5e).
-    return jax.lax.dot_general(a.astype(jnp.bfloat16),
-                               b.astype(jnp.bfloat16),
-                               (dims, ((), ())), precision=_PREC,
+    # bf16 operands on TPU (native single-pass MXU, f32 accumulate);
+    # full f32 in interpret mode so CPU golden tests stay bit-tight.
+    if jax.default_backend() == "tpu":
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, (dims, ((), ())), precision=_PREC,
                                preferred_element_type=jnp.float32)
 
 
@@ -283,3 +283,237 @@ def cin_pallas(x0: jnp.ndarray, prev: jnp.ndarray,
     h = prev.shape[2]
     out = cin_flat(x0.reshape(b * d, f), prev.reshape(b * d, h), weight)
     return out.reshape(b, d, -1)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused CIN stack for the sum_channel=True path (the flagship
+# config-#3 shape).  On a bandwidth-bound chip the per-layer kernel still
+# round-trips every hidden activation (M, K) plus its gradient through
+# HBM — ~160 MB/step at B=8192, D=16.  Fusing the whole stack + channel
+# sum reads x0 once and writes a single (M, 1) output; the backward
+# recomputes the hiddens in VMEM (flash-attention-style) and writes only
+# dx0 + the weight grads.  HBM traffic drops ~10x.
+# ---------------------------------------------------------------------------
+
+
+def _stack_consts(f, ks):
+    """Per-distinct-K broadcast/select matrices, shared across layers."""
+    uniq = sorted(set(ks))
+    r = {k: jnp.asarray(_broadcast_mat(f, k)) for k in uniq}
+    sel = {k: jnp.asarray(_select_mat(f, k)) for k in uniq}
+    return uniq, r, sel
+
+
+def _stack_fwd_kernel(n_layers, ks, kidx, output_input,
+                      x0_ref, *refs):
+    """Forward: x0 -> sum over all concatenated channels, one tile.
+
+    refs: wr_1..wr_n, r_(uniq), sel_(uniq), out_ref.
+    """
+    n_uniq = len(set(ks))
+    wr_refs = refs[:n_layers]
+    r_refs = refs[n_layers:n_layers + n_uniq]
+    sel_refs = refs[n_layers + n_uniq:n_layers + 2 * n_uniq]
+    out_ref = refs[-1]
+
+    x0 = x0_ref[:]                                      # (TM, F)
+    acc = (jnp.sum(x0, axis=1, keepdims=True) if output_input
+           else jnp.zeros((x0.shape[0], 1), jnp.float32))
+    xs = {}                                             # X per distinct K
+    prev = x0
+    for i in range(n_layers):
+        ki = kidx[i]
+        if ki not in xs:
+            xs[ki] = _dot(x0, r_refs[ki][:], (((1,), (0,))))
+        t = _dot(prev, wr_refs[i][:], (((1,), (0,))))   # (TM, F*K_i)
+        tx = t * xs[ki]
+        acc = acc + jnp.sum(tx, axis=1, keepdims=True)
+        if i + 1 < n_layers:
+            prev = _dot(tx, sel_refs[ki][:], (((1,), (0,))))  # h_i
+    out_ref[:] = acc.astype(out_ref.dtype)
+
+
+def _stack_bwd_kernel(n_layers, ks, kidx, output_input,
+                      x0_ref, g_ref, *refs):
+    """Backward: recompute hiddens in VMEM, emit dx0 + per-layer dWr.
+
+    refs: wr_1..wr_n, r_(uniq), sel_(uniq), dx0_ref, dwr_1..dwr_n.
+    """
+    n_uniq = len(set(ks))
+    wr_refs = refs[:n_layers]
+    r_refs = refs[n_layers:n_layers + n_uniq]
+    sel_refs = refs[n_layers + n_uniq:n_layers + 2 * n_uniq]
+    dx0_ref = refs[n_layers + 2 * n_uniq]
+    dwr_refs = refs[n_layers + 2 * n_uniq + 1:]
+
+    x0 = x0_ref[:]                                      # (TM, F)
+    g = g_ref[:]                                        # (TM, 1)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        for dwr in dwr_refs:
+            dwr[:] = jnp.zeros_like(dwr)
+
+    # forward recompute of the (small) hiddens
+    xs = {}
+    prevs = [x0]
+    for i in range(n_layers - 1):
+        ki = kidx[i]
+        if ki not in xs:
+            xs[ki] = _dot(x0, r_refs[ki][:], (((1,), (0,))))
+        t = _dot(prevs[i], wr_refs[i][:], (((1,), (0,))))
+        prevs.append(_dot(t * xs[ki], sel_refs[ki][:], (((1,), (0,)))))
+    ki_last = kidx[n_layers - 1]
+    if ki_last not in xs:
+        xs[ki_last] = _dot(x0, r_refs[ki_last][:], (((1,), (0,))))
+
+    dx0 = g * jnp.ones_like(x0) if output_input else jnp.zeros_like(x0)
+    dh = None                                           # grad into h_i
+    for i in range(n_layers - 1, -1, -1):
+        ki = kidx[i]
+        k = ks[i]
+        # total grad wrt h_i in the FK domain: the rowsum term is g on
+        # every lane; the feed-forward term comes via SEL^T.
+        t = _dot(prevs[i], wr_refs[i][:], (((1,), (0,))))  # recompute T_i
+        if dh is None:
+            gt = g * jnp.ones_like(t)                   # last layer
+        else:
+            gt = (_dot(dh, sel_refs[ki][:], (((1,), (1,))))
+                  + g * jnp.ones_like(t))
+        dt = gt * xs[ki]                                # (TM, F*K_i)
+        dx0 = dx0 + _dot(gt * t, r_refs[ki][:], (((1,), (1,))))
+        dwr_refs[i][:] += _dot(prevs[i], dt, (((0,), (0,)))
+                               ).astype(dwr_refs[i].dtype)
+        dprev = _dot(dt, wr_refs[i][:], (((1,), (1,))))  # (TM, H_{i-1})
+        if i == 0:
+            dx0 = dx0 + dprev                           # prev_0 is x0
+        else:
+            dh = dprev
+    dx0_ref[:] = dx0.astype(dx0_ref.dtype)
+
+
+def _stack_prep(x0, weights):
+    m, f = x0.shape
+    ks = [int(w.shape[0]) for w in weights]
+    hs = [f] + ks[:-1]
+    uniq, r_map, sel_map = _stack_consts(f, ks)
+    kidx = [uniq.index(k) for k in ks]
+    wrs = [_weight_to_wr(w) for w in weights]
+    rs = [r_map[k] for k in uniq]
+    sels = [sel_map[k] for k in uniq]
+    return m, f, ks, hs, uniq, kidx, wrs, rs, sels
+
+
+def _const_spec(a):
+    shape = a.shape
+    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def cin_stack_sum(x0: jnp.ndarray, weights, output_input: bool = True
+                  ) -> jnp.ndarray:
+    """Whole CIN stack + channel sum, one fused kernel.
+
+    Args:
+        x0: (M, F) flattened (B*D, F) layer-0 features.
+        weights: tuple of per-layer (K_i, F, H_{i-1}) weights, H_0 = F.
+        output_input: include sum over x0's channels (reference
+            cin_layer.py:115-118 with output_input=True).
+
+    Returns:
+        (M,) channel-summed CIN output.
+    """
+    return _cin_stack_fwd_impl(x0, tuple(weights), output_input)
+
+
+def _cin_stack_fwd_impl(x0, weights, output_input):
+    m, f, ks, hs, uniq, kidx, wrs, rs, sels = _stack_prep(x0, weights)
+    fk_max = f * max(ks)
+    tile_m = _pick_tile_m(m, f, max(ks), max(ks), n_temps=3)
+    pad = -m % tile_m
+    x0p = jnp.pad(x0, ((0, pad), (0, 0))) if pad else x0
+    mp = x0p.shape[0]
+
+    kern = functools.partial(_stack_fwd_kernel, len(ks), tuple(ks),
+                             tuple(kidx), output_input)
+    out = pl.pallas_call(
+        kern,
+        grid=(mp // tile_m,),
+        in_specs=([pl.BlockSpec((tile_m, f), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)]
+                  + [_const_spec(a) for a in wrs + rs + sels]),
+        out_specs=pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), x0.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * sum(f * k * (h + f + k)
+                               for k, h in zip(ks, hs)),
+            bytes_accessed=(mp * f + mp
+                            + sum(k * f * h for k, h in zip(ks, hs))) * 4,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(x0p, *wrs, *rs, *sels)
+    return out[:m, 0]
+
+
+def _cin_stack_fwd(x0, weights, output_input):
+    return _cin_stack_fwd_impl(x0, tuple(weights), output_input), \
+        (x0, tuple(weights))
+
+
+def _cin_stack_bwd(output_input, residuals, g):
+    x0, weights = residuals
+    m, f, ks, hs, uniq, kidx, wrs, rs, sels = _stack_prep(x0, weights)
+    tile_m = _pick_tile_m(m, f, max(ks), max(ks),
+                          n_temps=4 + len(uniq))
+    pad = -m % tile_m
+    if pad:
+        x0p = jnp.pad(x0, ((0, pad), (0, 0)))
+        gp = jnp.pad(g.reshape(m, 1), ((0, pad), (0, 0)))
+    else:
+        x0p, gp = x0, g.reshape(m, 1)
+    mp = x0p.shape[0]
+
+    kern = functools.partial(_stack_bwd_kernel, len(ks), tuple(ks),
+                             tuple(kidx), output_input)
+    outs = pl.pallas_call(
+        kern,
+        grid=(mp // tile_m,),
+        in_specs=([pl.BlockSpec((tile_m, f), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)]
+                  + [_const_spec(a) for a in wrs + rs + sels]),
+        out_specs=([pl.BlockSpec((tile_m, f), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+                   + [_const_spec(a) for a in wrs]),
+        out_shape=([jax.ShapeDtypeStruct((mp, f), x0.dtype)]
+                   + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                      for w in wrs]),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * mp * sum(f * k * (h + f + k)
+                               for k, h in zip(ks, hs)),
+            bytes_accessed=(mp * (2 * f + 1)
+                            + 2 * sum(k * f * h
+                                      for k, h in zip(ks, hs))) * 4,
+            transcendentals=0),
+        interpret=jax.default_backend() != "tpu",
+    )(x0p, gp, *wrs, *rs, *sels)
+    dx0 = outs[0][:m]
+    dws = tuple(
+        jnp.transpose(dwr.reshape(h, f, k), (2, 1, 0)).astype(w.dtype)
+        for dwr, w, k, h in zip(outs[1:], weights, ks, hs))
+    return dx0, dws
+
+
+cin_stack_sum.defvjp(_cin_stack_fwd, _cin_stack_bwd)
+
+
+def cin_stack_sum_pallas(emb: jnp.ndarray, weights,
+                         output_input: bool = True) -> jnp.ndarray:
+    """Fused CIN stack + channel sum on (B, D, F) inputs -> (B, D)."""
+    b, d, f = emb.shape
+    out = cin_stack_sum(emb.reshape(b * d, f), tuple(weights),
+                        output_input)
+    return out.reshape(b, d)

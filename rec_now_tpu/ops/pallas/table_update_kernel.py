@@ -45,7 +45,7 @@ def _group_matrix(pack: int, dim: int) -> np.ndarray:
 
 def _adagrad_kernel(table_ref, acc_ref, g_ref, m_ref, mt_ref,
                     new_table_ref, new_acc_ref, *, lr, dim, eps):
-    g = g_ref[...]                                        # (T, W)
+    g = g_ref[...].astype(jnp.float32)                    # (T, W)
     sq = jax.lax.dot_general(
         g * g, m_ref[...], (((1,), (0,)), ((), ())),
         precision=jax.lax.Precision.HIGHEST,
@@ -63,7 +63,7 @@ def _adagrad_kernel(table_ref, acc_ref, g_ref, m_ref, mt_ref,
 def _adam_kernel(table_ref, m_ref, v_ref, g_ref, cnt_ref, t_ref,
                  gm_ref, gmt_ref, new_table_ref, new_m_ref, new_v_ref,
                  *, lr, b1, b2, eps):
-    g = g_ref[...]                                        # (T, W)
+    g = g_ref[...].astype(jnp.float32)                    # (T, W)
     touched = (cnt_ref[...] > 0).astype(jnp.float32)      # (T, P)
     tw = jax.lax.dot_general(
         touched, gmt_ref[...], (((1,), (0,)), ((), ())),

@@ -36,16 +36,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from rec_now_tpu.parallel.mesh import DATA_AXIS
 
 
+def _distributed_is_initialized() -> bool:
+    """Whether ``jax.distributed.initialize`` has already run.
+
+    Checked WITHOUT touching any backend API: ``jax.process_count()``
+    (or any jax op) initializes the local backend as a side effect,
+    after which ``jax.distributed.initialize`` raises — the exact
+    failure mode this helper must avoid on a real pod.
+    """
+    state = getattr(jax.distributed, "global_state", None)
+    if state is None:  # jax >= 0.4.x keeps it in _src
+        from jax._src import distributed as _dist
+        state = _dist.global_state
+    return getattr(state, "client", None) is not None or \
+        getattr(state, "coordinator_address", None) is not None
+
+
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:
-    """Initialize JAX's distributed runtime (no-op if single process).
+    """Initialize JAX's distributed runtime (idempotent).
 
-    On Cloud TPU the arguments auto-discover from the environment; pass
-    them explicitly for other fabrics.
+    MUST run before any other jax call (anything that touches a
+    backend — ``jax.devices()``, ``jax.process_count()``, even a
+    ``jnp`` constant — locks in the single-process local backend and
+    makes distributed init ineffective).  On Cloud TPU the arguments
+    auto-discover from the environment; pass them explicitly for other
+    fabrics.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    if _distributed_is_initialized():
+        return
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -58,6 +58,57 @@ class TestCINKernel:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestCINStackKernel:
+    """Fused whole-stack + channel-sum kernel vs per-layer XLA."""
+
+    def _ref(self, x0_bdf, weights, output_input=True):
+        layers = [x0_bdf]
+        for w in weights:
+            layers.append(cin_contract_xla(x0_bdf, layers[-1], w))
+        if not output_input:
+            layers = layers[1:]
+        return jnp.sum(jnp.concatenate(layers, axis=-1), axis=-1)
+
+    @pytest.mark.parametrize("output_input", [True, False])
+    def test_forward_matches_per_layer(self, output_input):
+        from rec_now_tpu.ops.pallas.cin_kernel import cin_stack_sum_pallas
+        b, d, f = 3, 5, 4
+        hidden = (6, 6)
+        x0 = jax.random.normal(KEY, (b, d, f))
+        ws = tuple(
+            jax.random.normal(jax.random.PRNGKey(3 + i),
+                              (k, f, h)) * 0.3
+            for i, (k, h) in enumerate(zip(hidden, (f,) + hidden[:-1])))
+        got = cin_stack_sum_pallas(x0, ws, output_input=output_input)
+        expected = self._ref(x0, ws, output_input)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_backward_matches_per_layer(self):
+        from rec_now_tpu.ops.pallas.cin_kernel import cin_stack_sum_pallas
+        b, d, f = 2, 4, 3
+        hidden = (5, 4)   # distinct Ks exercise the per-K constants
+        x0 = jax.random.normal(KEY, (b, d, f))
+        ws = tuple(
+            jax.random.normal(jax.random.PRNGKey(7 + i),
+                              (k, f, h)) * 0.3
+            for i, (k, h) in enumerate(zip(hidden, (f,) + hidden[:-1])))
+
+        def loss_pallas(x0, ws):
+            return jnp.sum(jnp.sin(cin_stack_sum_pallas(x0, ws)))
+
+        def loss_ref(x0, ws):
+            return jnp.sum(jnp.sin(self._ref(x0, ws)))
+
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(x0, ws)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x0, ws)
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                                   rtol=1e-4, atol=1e-5)
+        for a, b_ in zip(gp[1], gr[1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=1e-5)
+
+
 class TestMultiDenseKernel:
     def test_matches_xla(self):
         n, b, d, u = 3, 16, 8, 5
