@@ -55,7 +55,10 @@ def main():
     # cannot elide (block_until_ready on donated buffers is unreliable
     # over the TPU tunnel).
     window = int(os.environ.get("BENCH_WINDOW", 5))
-    host_batches = list(data.batches(BATCH, STEPS_MEASURE, seed=1))
+    # round the measured steps up to a whole number of windows: a ragged
+    # final window would recompile the scan inside the timed region
+    steps_measure = -(-STEPS_MEASURE // window) * window
+    host_batches = list(data.batches(BATCH, steps_measure, seed=1))
     state = trainer.init(jax.random.PRNGKey(0), data.sample(
         BATCH, __import__("numpy").random.RandomState(0)))
 
@@ -68,7 +71,7 @@ def main():
     state, metrics_seq = trainer.train_pipelined(state, host_batches,
                                                  window=window)
     final_loss = float(metrics_seq["loss"][-1])   # forces completion
-    dt = (time.perf_counter() - t0) / STEPS_MEASURE
+    dt = (time.perf_counter() - t0) / steps_measure
     metrics = {k: v[-1] for k, v in metrics_seq.items()}
     del final_loss
 

@@ -176,20 +176,35 @@ class CriteoTSV:
 
     def batches(self, batch_size: int,
                 num_batches: Optional[int] = None,
-                drop_remainder: bool = True) -> Iterator[Batch]:
+                drop_remainder: bool = True,
+                skip: int = 0) -> Iterator[Batch]:
         """Yield fixed-size batches (static shapes for the jitted step).
 
         The final partial batch is dropped by default (a ragged batch
         would retrigger XLA compilation); pass
         ``drop_remainder=False`` to get it zero-padded instead.
+        ``skip`` drops that many leading batches first — the train/eval
+        holdout split when one file serves both (train reads batches
+        [0, steps), eval reads with ``skip=steps``).
         """
         pend: list = []
         have = 0
         emitted = 0
+        skipped = 0
         for block in self._rows():
             pend.append(block)
             have += block[0].shape[0]
             while have >= batch_size:
+                if skipped < skip:
+                    d = np.concatenate([b[0] for b in pend])
+                    i = np.concatenate([b[1] for b in pend])
+                    l = np.concatenate([b[2] for b in pend])
+                    g = np.concatenate([b[3] for b in pend])
+                    pend = [(d[batch_size:], i[batch_size:],
+                             l[batch_size:], g[batch_size:])]
+                    have -= batch_size
+                    skipped += 1
+                    continue
                 if num_batches is not None and emitted >= num_batches:
                     return
                 d = np.concatenate([b[0] for b in pend])
@@ -202,7 +217,7 @@ class CriteoTSV:
                 pend = [(d[batch_size:], i[batch_size:],
                          l[batch_size:], g[batch_size:])]
                 have -= batch_size
-        if (not drop_remainder and have
+        if (not drop_remainder and have and skipped >= skip
                 and (num_batches is None or emitted < num_batches)):
             d = np.concatenate([b[0] for b in pend])[:have]
             i = np.concatenate([b[1] for b in pend])[:have]

@@ -139,7 +139,11 @@ class ParasiticStarDenseLayer(nn.Module):
 
         Args:
             inputs: (B, D).
-            group_idx: which parasitic group to use; None or negative
+            group_idx: which parasitic group to use.  A Python int picks
+                one group for the whole batch (the reference's per-scene
+                semantics, star_dense_layer.py:273-289); an int array of
+                shape (B,) routes each sample to its own group (mixed
+                serving domains in one batch); None or a negative int
                 uses only the trunk parameters.
             stop_trunk_grad: stop gradients into the trunk kernel/bias.
 
@@ -171,6 +175,24 @@ class ParasiticStarDenseLayer(nn.Module):
                 bias = jax.lax.stop_gradient(bias)
         only_trunk = group_idx is None or (
             isinstance(group_idx, int) and group_idx < 0)
+        per_sample = (not only_trunk
+                      and getattr(group_idx, "ndim", 0) >= 1)
+        if per_sample:
+            # per-sample routing: run every group's personalized dense
+            # on the MXU and one-hot select.  G is small (serving
+            # domains), so G batched matmuls beat gathering a
+            # (B, D, U) per-sample kernel out of HBM.
+            kernels = self._combine_kernel(kernel[None],
+                                           parasitic_kernel)  # (G, D, U)
+            outs = jnp.einsum("bd,gdu->gbu", inputs, kernels,
+                              preferred_element_type=jnp.float32
+                              ).astype(inputs.dtype)          # (G, B, U)
+            oh = jax.nn.one_hot(group_idx, self.num_groups,
+                                dtype=outs.dtype)             # (B, G)
+            outputs = jnp.einsum("gbu,bg->bu", outs, oh)
+            if bias is not None:
+                outputs = outputs + oh @ (bias[None] + parasitic_bias)
+            return get_activation(self.activation)(outputs)
         if not only_trunk:
             kernel = self._combine_kernel(kernel, parasitic_kernel[group_idx])
             if bias is not None:

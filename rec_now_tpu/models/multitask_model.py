@@ -30,15 +30,18 @@ class MultiTaskModel(nn.Module):
 
     @nn.compact
     def __call__(self, dense: jnp.ndarray, sparse_emb: jnp.ndarray,
-                 domain_idx: int = 0) -> jnp.ndarray:
+                 domain_idx=0) -> jnp.ndarray:
         """Score a batch for every task.
 
         Args:
             dense: (B, num_dense).
             sparse_emb: (B, F, D).
-            domain_idx: static domain (scene) selector for the STAR
-                parasitic towers — one group of parasitic parameters per
-                serving domain, as in the STAR paper.
+            domain_idx: domain (scene) selector for the STAR parasitic
+                towers — one group of parasitic parameters per serving
+                domain, as in the STAR paper.  A Python int serves the
+                whole batch from one domain; an int array (B,) routes
+                each sample to its own domain (mixed-domain batches, the
+                production training case).
 
         Returns:
             (T, B) per-task logits.

@@ -66,6 +66,10 @@ def main(argv=None):
                    help="Criteo-format TSV to train from (native "
                         "multi-threaded parser); default: synthetic "
                         "planted-model stream")
+    p.add_argument("--eval-file", default=None,
+                   help="Criteo-format TSV to evaluate on; default with "
+                        "--data-file: held-out rows past the training "
+                        "range of the same file")
     p.add_argument("--num-groups", type=int, default=50_000,
                    help="group-id hash space for --data-file (in-batch "
                         "pairwise/listwise grouping key)")
@@ -91,6 +95,7 @@ def main(argv=None):
         num_tasks=num_tasks)
     mesh = make_mesh()
     trainer = Trainer(model, fc, cfg, mesh=mesh)
+    eval_on_train = False
     if args.data_file:
         from rec_now_tpu.io import CriteoTSV
         ds = CriteoTSV(args.data_file,
@@ -99,11 +104,40 @@ def main(argv=None):
 
         def make_batches(n, seed):
             return ds.batches(args.batch_size, n)
+
+        if args.eval_file:
+            eval_ds = CriteoTSV(args.eval_file,
+                                rows_per_field=args.rows_per_field,
+                                num_groups=args.num_groups)
+
+            def make_eval_batches(n, seed):
+                return eval_ds.batches(args.batch_size, n)
+        else:
+            # hold out rows past the training range so eval is
+            # out-of-sample; fall back (with an explicit marker) when
+            # the file is too short to hold any out
+            held_out = list(ds.batches(args.batch_size,
+                                       args.eval_batches,
+                                       skip=args.steps))
+            if not held_out:
+                print(json.dumps({
+                    "warning": "data file has no rows past the training "
+                               "range; eval scores TRAINING data "
+                               "(eval_on_train=true)"}), flush=True)
+                eval_on_train = True
+                held_out = list(ds.batches(args.batch_size,
+                                           args.eval_batches))
+
+            def make_eval_batches(n, seed):
+                return iter(held_out[:n])
     else:
         data = SyntheticCriteo(rows_per_field=args.rows_per_field,
                                seed=args.seed)
 
         def make_batches(n, seed):
+            return data.batches(args.batch_size, n, seed=seed)
+
+        def make_eval_batches(n, seed):
             return data.batches(args.batch_size, n, seed=seed)
 
     ckpt = None
@@ -115,13 +149,24 @@ def main(argv=None):
     first = next(make_batches(1, args.seed + 1))
     state = trainer.init(jax.random.PRNGKey(args.seed), first)
 
+    def run_eval(step):
+        res = trainer.evaluate(
+            state, make_eval_batches(args.eval_batches, args.seed + 999))
+        line = {"step": step, "eval": res}
+        if eval_on_train:
+            line["eval_on_train"] = True
+        print(json.dumps(line), flush=True)
+
     t0 = time.perf_counter()
     if args.scan_window > 1:
-        # production inner loop: whole windows as one on-device scan
+        # production inner loop: whole windows as one on-device scan;
+        # eval fires at window granularity whenever the step counter
+        # crosses an --eval-every boundary
         window, buf, step = args.scan_window, [], 0
         for batch in batches:
             buf.append(batch)
             if len(buf) == window:
+                prev = step
                 state, mseq = trainer.train_many(state, buf)
                 step += window
                 buf = []
@@ -133,6 +178,9 @@ def main(argv=None):
                             for k, v in metrics.items()}
                     line.update(step=step, examples_per_sec=round(eps, 1))
                     print(json.dumps(line), flush=True)
+                if args.eval_every and (step // args.eval_every
+                                        > prev // args.eval_every):
+                    run_eval(step)
                 if ckpt and args.checkpoint_every \
                         and step % args.checkpoint_every == 0:
                     ckpt.save(step, state)
@@ -141,29 +189,28 @@ def main(argv=None):
             step += len(buf)
         batches = []
     from rec_now_tpu.training.prefetch import DevicePrefetcher
-    for i, dev_batch in enumerate(DevicePrefetcher(batches,
-                                                   trainer.put)):
-        state, metrics = trainer.train_step(state, *dev_batch)
-        step = i + 1
-        if args.log_every and step % args.log_every == 0:
-            jax.block_until_ready(metrics["loss"])
-            eps = args.batch_size * step / (time.perf_counter() - t0)
-            line = {k: round(float(v), 5) for k, v in metrics.items()}
-            line.update(step=step, examples_per_sec=round(eps, 1))
-            print(json.dumps(line), flush=True)
-        if args.eval_every and step % args.eval_every == 0:
-            res = trainer.evaluate(
-                state, make_batches(args.eval_batches, args.seed + 999))
-            print(json.dumps({"step": step, "eval": res}), flush=True)
-        if ckpt and args.checkpoint_every \
-                and step % args.checkpoint_every == 0:
-            ckpt.save(step, state)
+    with DevicePrefetcher(batches, trainer.put) as prefetched:
+        for i, dev_batch in enumerate(prefetched):
+            state, metrics = trainer.train_step(state, *dev_batch)
+            step = i + 1
+            if args.log_every and step % args.log_every == 0:
+                jax.block_until_ready(metrics["loss"])
+                eps = args.batch_size * step / (time.perf_counter() - t0)
+                line = {k: round(float(v), 5) for k, v in metrics.items()}
+                line.update(step=step, examples_per_sec=round(eps, 1))
+                print(json.dumps(line), flush=True)
+            if args.eval_every and step % args.eval_every == 0:
+                run_eval(step)
+            if ckpt and args.checkpoint_every \
+                    and step % args.checkpoint_every == 0:
+                ckpt.save(step, state)
 
     res = trainer.evaluate(
-        state, make_batches(args.eval_batches, args.seed + 999))
-    print(json.dumps({"final_eval": res,
-                      "steps": args.steps,
-                      "model": args.model}), flush=True)
+        state, make_eval_batches(args.eval_batches, args.seed + 999))
+    final = {"final_eval": res, "steps": args.steps, "model": args.model}
+    if eval_on_train:
+        final["eval_on_train"] = True
+    print(json.dumps(final), flush=True)
     if ckpt:
         ckpt.save(args.steps, state)
         ckpt.wait()

@@ -110,6 +110,14 @@ class Trainer:
                 optimizer=config.sparse_optimizer,
                 update_mode=config.sparse_update_mode)
         self.tx = optax.adam(config.dense_lr)
+        # pass the per-sample domain only to models that route on it
+        # (MultiTaskModel's STAR towers); single-task towers don't take it
+        import inspect
+        try:
+            sig = inspect.signature(type(model).__call__)
+            self._takes_domain = "domain_idx" in sig.parameters
+        except (TypeError, ValueError):
+            self._takes_domain = False
         self._train_step = None
         self._train_many = None
         self._eval_step = None
@@ -123,13 +131,13 @@ class Trainer:
                                   NamedSharding(self.mesh, spec))
         return (shard(batch.dense, 2), shard(batch.sparse_ids, 2),
                 shard(batch.labels, 1), shard(batch.group_ids, 1),
-                shard(batch.cvr_labels, 1))
+                shard(batch.cvr_labels, 1), shard(batch.domain_idx, 1))
 
     # -- init --------------------------------------------------------------
     def init(self, key: jax.Array, batch: Batch) -> TrainState:
         """Initialize params, optimizer and the sharded table."""
         k_model, k_table, k_can = jax.random.split(key, 3)
-        dense, ids, labels, groups, cvr = self.put(batch)
+        dense, ids, labels, groups, cvr, domain = self.put(batch)
         emb_shape = ids.shape + (self.fc.embedding_dim,)
         dummy_emb = jnp.zeros(emb_shape, jnp.float32)
         if self.can_table is not None:
@@ -219,13 +227,15 @@ class Trainer:
             return sharded(logits, labels, groups)
         return local(logits, labels, groups)
 
-    def _loss_fn(self, params, emb, can_emb, dense, labels, groups, cvr):
+    def _loss_fn(self, params, emb, can_emb, dense, labels, groups, cvr,
+                 domain):
         cfg = self.cfg
         metrics = {}
+        kw = {"domain_idx": domain} if self._takes_domain else {}
         if can_emb is not None:
-            logits = self.model.apply(params, dense, emb, can_emb)
+            logits = self.model.apply(params, dense, emb, can_emb, **kw)
         else:
-            logits = self.model.apply(params, dense, emb)
+            logits = self.model.apply(params, dense, emb, **kw)
         if cfg.num_tasks > 1:
             task_logits = logits                           # (T, B)
             logits = task_logits[0]
@@ -251,7 +261,7 @@ class Trainer:
 
     # -- steps -------------------------------------------------------------
     def _step_body(self, state: TrainState, dense, ids, labels, groups,
-                   cvr):
+                   cvr, domain):
         """One optimization step (pure; shared by jit and scan paths)."""
         fc, table, tx, cfg = self.fc, self.table, self.tx, self.cfg
         can_table = self.can_table
@@ -264,14 +274,14 @@ class Trainer:
                 jax.value_and_grad(
                     self._loss_fn, argnums=(0, 1, 2), has_aux=True)(
                     state.params, emb, can_emb, dense, labels,
-                    groups, cvr)
+                    groups, cvr, domain)
             new_can = can_table.apply_grads(
                 state.can_table, can_ids, gcan, lr=cfg.sparse_lr)
         else:
             (loss, (metrics, _)), (gp, gemb) = jax.value_and_grad(
                 self._loss_fn, argnums=(0, 1), has_aux=True)(
                     state.params, emb, None, dense, labels, groups,
-                    cvr)
+                    cvr, domain)
             new_can = state.can_table
         updates, opt_state = tx.update(gp, state.opt_state,
                                        state.params)
@@ -288,12 +298,13 @@ class Trainer:
 
     def _build_train_many(self):
         def many(state: TrainState, dense_s, ids_s, labels_s, groups_s,
-                 cvr_s):
+                 cvr_s, domain_s):
             def body(state, xs):
                 state, metrics = self._step_body(state, *xs)
                 return state, metrics
             state, metrics_seq = jax.lax.scan(
-                body, state, (dense_s, ids_s, labels_s, groups_s, cvr_s))
+                body, state,
+                (dense_s, ids_s, labels_s, groups_s, cvr_s, domain_s))
             return state, metrics_seq
         return jax.jit(many, donate_argnums=(0,))
 
@@ -302,29 +313,38 @@ class Trainer:
 
         can_table, cfg = self.can_table, self.cfg
 
-        def step(state: TrainState, dense, ids):
+        takes_domain = self._takes_domain
+
+        def step(state: TrainState, dense, ids, domain):
             gids = fc.global_ids(ids)
             emb = table.lookup(state.table, gids)
+            kw = {"domain_idx": domain} if takes_domain else {}
             if can_table is not None:
                 can_ids = ids[:, cfg.can_param_field] % fc.rows_per_field
                 can_emb = can_table.lookup(state.can_table, can_ids)
-                return self.model.apply(state.params, dense, emb, can_emb)
-            return self.model.apply(state.params, dense, emb)
+                return self.model.apply(state.params, dense, emb, can_emb,
+                                        **kw)
+            return self.model.apply(state.params, dense, emb, **kw)
 
         return jax.jit(step)
 
     def train_step(self, state: TrainState, dense, ids, labels, groups,
-                   cvr) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+                   cvr, domain
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """One jitted, state-donating optimization step."""
         if self._train_step is None:
             self._train_step = self._build_train_step()
-        return self._train_step(state, dense, ids, labels, groups, cvr)
+        return self._train_step(state, dense, ids, labels, groups, cvr,
+                                domain)
 
-    def eval_step(self, state: TrainState, dense, ids) -> jnp.ndarray:
+    def eval_step(self, state: TrainState, dense, ids,
+                  domain=None) -> jnp.ndarray:
         """Logits for an eval batch (no state mutation)."""
         if self._eval_step is None:
             self._eval_step = self._build_eval_step()
-        return self._eval_step(state, dense, ids)
+        if domain is None:
+            domain = jnp.zeros((ids.shape[0],), jnp.int32)
+        return self._eval_step(state, dense, ids, domain)
 
     def train_many(self, state: TrainState, batches
                    ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -346,7 +366,7 @@ class Trainer:
             self._train_many = self._build_train_many()
         stacked = [np.stack([getattr(b, f) for b in batches])
                    for f in ("dense", "sparse_ids", "labels", "group_ids",
-                             "cvr_labels")]
+                             "cvr_labels", "domain_idx")]
 
         def shard(x):
             spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
@@ -438,13 +458,27 @@ class Trainer:
         return state, last
 
     def evaluate(self, state: TrainState, batches) -> Dict[str, float]:
-        """Exact AUC/GAUC over an eval stream (host-side accumulation)."""
+        """Exact AUC/GAUC over an eval stream (host-side accumulation).
+
+        Multi-task states additionally report ``cvr_auc``/``cvr_gauc``
+        from the CVR head's logits against the conversion labels.
+        """
         acc = StreamingGAUC()
+        cvr_acc = StreamingGAUC() if self.cfg.num_tasks > 1 else None
         for batch in batches:
-            dense, ids, labels, groups, cvr = self.put(batch)
-            logits = self.eval_step(state, dense, ids)
+            dense, ids, labels, groups, cvr, domain = self.put(batch)
+            logits = self.eval_step(state, dense, ids, domain)
             if logits.ndim == 2:                           # multi-task
+                if cvr_acc is not None:
+                    cvr_acc.update(np.asarray(batch.group_ids),
+                                   np.asarray(batch.cvr_labels),
+                                   np.asarray(logits[1]))
                 logits = logits[0]
             acc.update(np.asarray(batch.group_ids),
                        np.asarray(batch.labels), np.asarray(logits))
-        return acc.result()
+        result = acc.result()
+        if cvr_acc is not None:
+            cvr_res = cvr_acc.result()
+            result["cvr_auc"] = cvr_res["auc"]
+            result["cvr_gauc"] = cvr_res["gauc"]
+        return result

@@ -16,6 +16,7 @@ def mesh():
 
 
 class TestSparseAdam:
+    @pytest.mark.slow
     def test_first_step_matches_reference_formula(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh,
                                       optimizer="adam")
@@ -33,6 +34,7 @@ class TestSparseAdam:
             np.testing.assert_allclose(after[k], expected, rtol=1e-4,
                                        atol=1e-6)
 
+    @pytest.mark.slow
     def test_untouched_rows_and_moments_unchanged(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh,
                                       optimizer="adam")
@@ -46,6 +48,7 @@ class TestSparseAdam:
         np.testing.assert_allclose(table.debug_read(s1.m, others), 0.0)
         assert np.any(table.debug_read(s1.m, [5]) != 0)
 
+    @pytest.mark.slow
     def test_duplicates_sum_before_moment_update(self, mesh):
         table = ShardedEmbeddingTable(vocab_size=64, dim=2, mesh=mesh,
                                       optimizer="adam")
@@ -80,6 +83,7 @@ class TestSparseAdam:
             state, loss = step(state)
         assert float(loss) < losses[0] * 0.5
 
+    @pytest.mark.slow
     def test_trainer_integration(self, mesh):
         from rec_now_tpu.models import FMModel, FeatureConfig
         from rec_now_tpu.training import (SyntheticCriteo, Trainer,

@@ -16,6 +16,7 @@ def mesh():
 
 
 class TestScatterMode:
+    @pytest.mark.slow
     def test_unique_ids_match_dedup_mode(self, mesh):
         """With no duplicate ids the two modes are identical."""
         table = ShardedEmbeddingTable(vocab_size=64, dim=4, mesh=mesh)
@@ -30,6 +31,7 @@ class TestScatterMode:
         np.testing.assert_allclose(np.asarray(a.accumulator),
                                    np.asarray(b.accumulator), rtol=1e-5)
 
+    @pytest.mark.slow
     def test_duplicates_accumulate_deterministically(self, mesh):
         """Duplicate rows: grads sum into the row; acc gets per-
         occurrence contributions (documented semantic difference)."""

@@ -123,6 +123,7 @@ class TestShardedUpdate:
         assert len(spec) >= 1 and spec[0] == "data", spec
 
     @pytest.mark.parametrize("optimizer", ["adagrad", "adam"])
+    @pytest.mark.slow
     def test_dense_matches_sparse(self, mesh, optimizer):
         """update_mode='dense' == 'sparse' exactly (same dedup math)."""
         kw = dict(vocab_size=128, dim=4, mesh=mesh, optimizer=optimizer)
@@ -156,6 +157,7 @@ class TestShardedUpdate:
                 de.debug_read(st_de.accumulator, all_ids),
                 rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.slow
     def test_dense_valid_mask(self, mesh):
         """Masked entries are no-ops in dense mode, like sparse mode."""
         kw = dict(vocab_size=64, dim=4, mesh=mesh)
@@ -182,6 +184,7 @@ class TestShardedUpdate:
         big = ShardedEmbeddingTable(vocab_size=2 ** 31, dim=16, mesh=mesh)
         assert big.update_mode == "sparse"
 
+    @pytest.mark.slow
     def test_packed_dim16(self, mesh):
         """dim=16 -> pack 8: lookup/update round-trip stays exact."""
         table = ShardedEmbeddingTable(vocab_size=1024, dim=16, mesh=mesh)

@@ -124,6 +124,19 @@ class TestCriteoTSV:
                                       bs2[1].sparse_ids)
         np.testing.assert_array_equal(bs[1].labels, bs2[1].labels)
 
+    def test_batches_skip_is_offset(self, tsv):
+        """skip=k yields exactly the batches after the first k (the
+        train/eval holdout split)."""
+        ds = CriteoTSV(tsv, rows_per_field=5000, num_groups=200)
+        full = list(ds.batches(256, 6))
+        skipped = list(ds.batches(256, 4, skip=2))
+        assert len(skipped) == 4
+        for a, b in zip(full[2:], skipped):
+            np.testing.assert_array_equal(a.sparse_ids, b.sparse_ids)
+            np.testing.assert_array_equal(a.labels, b.labels)
+        # skipping past the whole file yields nothing
+        assert list(ds.batches(256, 2, skip=1000)) == []
+
     def test_chunk_size_invariance(self, tsv):
         """Carry-over across chunk boundaries loses/garbles no rows."""
         big = list(CriteoTSV(tsv, rows_per_field=5000, num_groups=200,
@@ -152,6 +165,7 @@ class TestCriteoTSV:
         _, counts = np.unique(b.group_ids, return_counts=True)
         assert counts.max() >= 2
 
+    @pytest.mark.slow
     def test_trains_with_trainer(self, tsv):
         """End-to-end: file -> parser -> jitted train step."""
         import jax

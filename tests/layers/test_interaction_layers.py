@@ -71,6 +71,7 @@ class TestCIN:
 
 
 class TestDCNMix:
+    @pytest.mark.slow
     def test_shapes_and_naive(self):
         b, d, s, n, L = 3, 6, 2, 2, 2
         x = jax.random.normal(KEY, (b, d))
@@ -229,6 +230,7 @@ class TestMMoE:
 
 
 class TestPLE:
+    @pytest.mark.slow
     def test_shapes(self):
         b, d = 4, 6
         x = jax.random.normal(KEY, (b, d))

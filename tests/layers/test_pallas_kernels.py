@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rec_now_tpu.ops.cin_op import cin_contract_xla
 from rec_now_tpu.ops.multi_dense_op import multi_dense_xla
 from rec_now_tpu.ops.pallas.cin_kernel import cin_pallas, cin_flat

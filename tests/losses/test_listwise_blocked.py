@@ -23,6 +23,7 @@ class TestBlockedListwise:
         blocked = listwise_loss_blocked(g, l, s, block_rows=block)
         assert float(blocked) == pytest.approx(float(dense), abs=1e-5)
 
+    @pytest.mark.slow
     def test_padding(self):
         g, l, s = _mk(45, seed=1)
         dense = listwise_loss(g, l, s)
@@ -35,6 +36,7 @@ class TestBlockedListwise:
         s = jnp.array([0.5, -0.1, 0.2])
         assert float(listwise_loss_blocked(g, l, s, block_rows=2)) == 0.0
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         g, l, s = _mk(40, seed=2)
         gd = jax.grad(lambda x: listwise_loss(g, l, x))(s)

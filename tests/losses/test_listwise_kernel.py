@@ -29,6 +29,7 @@ class TestListwiseKernel:
         s = jnp.array(np.random.RandomState(0).randn(8), jnp.float32)
         assert float(listwise_loss_pallas(g, l, s)) == 0.0
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         g, l, s = _mk(40, seed=2)
         gx = jax.grad(lambda x: listwise_loss(g, l, x))(s)

@@ -29,6 +29,7 @@ class TestBlockedEquivalence:
         blocked = pairwise_loss_blocked(o, l, g, block_rows=16)
         assert float(blocked) == pytest.approx(float(dense), abs=1e-5)
 
+    @pytest.mark.slow
     def test_occurance_power(self):
         o, l, g = _mk(40, seed=1)
         for p in (-1.0, 0.5):
@@ -62,6 +63,7 @@ class TestBlockedEquivalence:
                                         label_pair_to_weight_func=wfn)
         assert float(blocked) == pytest.approx(float(dense), abs=1e-5)
 
+    @pytest.mark.slow
     def test_num_pair(self):
         o, l, g = _mk(30, seed=6)
         _, n_d = pairwise_loss(o, l, g, return_num_pair=True)
@@ -69,6 +71,7 @@ class TestBlockedEquivalence:
                                        return_num_pair=True)
         assert float(n_d) == float(n_b)
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         o, l, g = _mk(32, seed=7)
         gd = jax.grad(lambda x: pairwise_loss(

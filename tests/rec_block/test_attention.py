@@ -1,4 +1,5 @@
 """Tests for attention blocks."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -37,6 +38,7 @@ class TestDotProductAttention:
 
 
 class TestDNNAttention:
+    @pytest.mark.slow
     def test_shapes(self):
         b, L, d = 2, 5, 4
         user = jax.random.normal(KEY, (b, L, d))

@@ -4,6 +4,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rec_now_tpu.models import DCNv2Model, CANDCNModel, FeatureConfig
 from rec_now_tpu.parallel import make_mesh
 from rec_now_tpu.serving import build_scorer

@@ -3,6 +3,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from rec_now_tpu.models import FMModel, DCNv2Model, FeatureConfig
 from rec_now_tpu.parallel import make_mesh
 from rec_now_tpu.training import SyntheticCriteo, Trainer, TrainerConfig

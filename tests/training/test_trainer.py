@@ -32,6 +32,7 @@ def _train(model, cfg, mesh, data, steps=80, batch=512, num_tasks=1):
 
 
 class TestFMPointwise:
+    @pytest.mark.slow
     def test_learns(self, mesh, data):
         """Config #1: FM + pointwise BCE must beat random AUC."""
         trainer, state, metrics, res = _train(
@@ -42,6 +43,7 @@ class TestFMPointwise:
 
 
 class TestDCNv2Pairwise:
+    @pytest.mark.slow
     def test_learns_with_joint_loss(self, mesh, data):
         """Flagship: DCN-v2 + pointwise + in-batch pairwise."""
         trainer, state, metrics, res = _train(
@@ -55,6 +57,7 @@ class TestDCNv2Pairwise:
 
 
 class TestXDeepFMListwise:
+    @pytest.mark.slow
     def test_learns(self, mesh, data):
         trainer, state, metrics, res = _train(
             XDeepFMModel(cin_hidden_sizes=(16,), deep_dims=(32,)),
@@ -66,6 +69,7 @@ class TestXDeepFMListwise:
 
 
 class TestMultiTask:
+    @pytest.mark.slow
     def test_two_task_heads(self, mesh, data):
         trainer, state, metrics, res = _train(
             MultiTaskModel(num_task=2, mmoe_dims=(32, 16), tower_dim=8),
@@ -77,6 +81,7 @@ class TestMultiTask:
 
 
 class TestStepMechanics:
+    @pytest.mark.slow
     def test_step_counter_and_no_recompile(self, mesh, data):
         trainer = Trainer(FMModel(), FC, TrainerConfig(), mesh=mesh)
         batches = list(data.batches(128, 3, seed=5))

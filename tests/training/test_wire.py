@@ -40,9 +40,9 @@ class TestPackIds:
 class TestWireFormat:
     def test_wire_cost_standard_layout(self):
         packed, raw = WireFormat.wire_cost(13, 26, 100_000, 50_000)
-        assert raw == 168
-        # 13*2 dense + 15 words*4 ids + 1 + 2 + 1
-        assert packed == 26 + 60 + 4
+        assert raw == 172
+        # 13*2 dense + 15 words*4 ids + 1 label + 2 group + 1 cvr + 1 dom
+        assert packed == 26 + 60 + 5
         assert packed < raw * 0.6
 
     def test_pack_decode_batch(self):
@@ -51,12 +51,13 @@ class TestWireFormat:
         wf = WireFormat(26, 1000, num_groups=200)
         packed = wf.pack(b)
         assert packed.group_ids.dtype == np.uint16
-        dense, ids, labels, groups, cvr = wf.decode(
+        dense, ids, labels, groups, cvr, domain = wf.decode(
             jax.tree_util.tree_map(jnp.asarray, packed))
         np.testing.assert_array_equal(np.asarray(ids), b.sparse_ids)
         np.testing.assert_array_equal(np.asarray(labels), b.labels)
         np.testing.assert_array_equal(np.asarray(groups), b.group_ids)
         np.testing.assert_array_equal(np.asarray(cvr), b.cvr_labels)
+        np.testing.assert_array_equal(np.asarray(domain), b.domain_idx)
         np.testing.assert_allclose(np.asarray(dense), b.dense,
                                    rtol=1e-3, atol=1e-3)
 
@@ -72,6 +73,7 @@ class TestWireFormat:
 
 
 class TestPackedTraining:
+    @pytest.mark.slow
     def test_packed_matches_unpacked(self):
         """train_many == train_pipelined up to f16 dense rounding."""
         from rec_now_tpu.models import FeatureConfig
@@ -108,6 +110,7 @@ class TestPackedTraining:
         t2 = np.asarray(s2.table.table)
         np.testing.assert_allclose(t1, t2, rtol=1e-6, atol=1e-7)
 
+    @pytest.mark.slow
     def test_pipelined_step_count(self):
         from rec_now_tpu.models import FeatureConfig
         from rec_now_tpu.models.fm_model import FMModel

@@ -45,7 +45,7 @@ def main():
     data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
     batch = data.sample(B, np.random.RandomState(0))
     state = trainer.init(jax.random.PRNGKey(0), batch)
-    dense, ids, labels, groups, cvr = trainer.put(batch)
+    dense, ids, labels, groups, cvr, domain = trainer.put(batch)
     table, tx, cfg = trainer.table, trainer.tx, trainer.cfg
 
     def make_step(do_lookup=True, do_grad=True, do_update=True,

@@ -46,7 +46,7 @@ def main():
     data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
     batch = data.sample(B, np.random.RandomState(0))
     state = trainer.init(jax.random.PRNGKey(0), batch)
-    dense, ids, labels, groups, cvr = trainer.put(batch)
+    dense, ids, labels, groups, cvr, domain = trainer.put(batch)
     table, tx = trainer.table, trainer.tx
 
     def make_step(do_lookup=True, do_grad=True, do_update=True,

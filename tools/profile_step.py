@@ -54,7 +54,7 @@ def main():
     data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
     batch = data.sample(B, np.random.RandomState(0))
     state = trainer.init(jax.random.PRNGKey(0), batch)
-    dense, ids, labels, groups, cvr = trainer.put(batch)
+    dense, ids, labels, groups, cvr, domain = trainer.put(batch)
     table = trainer.table
     gids = fc.global_ids(ids)
     emb0 = table.lookup(state.table, gids)
@@ -104,7 +104,7 @@ def main():
     timeit("table update (apply_grads)", update_step, state.table)
 
     def full_step(st):
-        st2, m = trainer._step_body(st, dense, ids, labels, groups, cvr)
+        st2, m = trainer._step_body(st, dense, ids, labels, groups, cvr, domain)
         return st2
     timeit("FULL STEP", full_step, state)
 
