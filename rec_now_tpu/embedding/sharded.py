@@ -20,7 +20,9 @@ scatter-*add* — slices within a line are disjoint, so colliding logical
 rows in one physical row combine correctly.  The Adagrad slot packs the
 same way as ``(Vl / pack, pack)``.
 
-Lookup (inside ``shard_map``, per shard):
+Lookup has two exchange strategies (``route_mode``):
+
+**allgather** (default for small meshes) — per shard:
 
     1. ``all_gather(local_ids)``   -> every shard sees the global id set
        (ids are int32 — the cheap direction);
@@ -28,8 +30,28 @@ Lookup (inside ``shard_map``, per shard):
     3. ``psum_scatter(partial)``   -> each shard receives the summed
        (exactly-one-owner) embeddings for its own batch rows.
 
-Both collectives ride ICI and are static-shape; there are no capacity
-bounds to overflow, unlike bucketed all-to-all designs.
+No capacity bounds, but every shard gathers all B global rows and the
+row exchange moves O((n-1)·b·D) per shard — redundant work that grows
+with the mesh.
+
+**routed** (default for n >= 4) — the TPU rendering of the reference's
+unique-before-lookup idiom (rec_now/rec_block/embedding_util.py:306-311,
+``tf.unique`` before ``embedding_func``), built from
+:mod:`rec_now_tpu.embedding.exchange`:
+
+    1. sort-dedup the shard's b ids (static shape, BIG sentinels);
+    2. bucket unique ids by owner (``id % n``), static per-owner
+       capacity ``cap`` (2·b/n by default), rare spill to a small
+       all-gather overflow lane;
+    3. ``all_to_all`` ids -> owner gathers its rows -> ``all_to_all``
+       rows back -> un-dedup to the original order.
+
+Per-shard row payload becomes O(cap·n·D) ≈ O(2·b·D) instead of
+O((n-1)·b·D): the advantage grows linearly with the mesh.  Updates
+route the same way with grads pre-summed per unique id at the source
+(the owner re-dedups across sources).  Per-occurrence Adagrad
+(``dedup=False``) keeps the allgather path — per-occurrence semantics
+are incompatible with source-side dedup.
 
 Updates never densify over the vocabulary: the train step passes grads
 w.r.t. the *gathered* rows; each shard scatter-adds the rows it owns
@@ -42,13 +64,14 @@ P = pack, B flattened ids.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from rec_now_tpu.embedding import exchange
 from rec_now_tpu.parallel.mesh import DATA_AXIS
 
 _BIG = jnp.int32(2 ** 30)   # sentinel local row: scatters drop OOB
@@ -91,11 +114,16 @@ class ShardedEmbeddingTable:
                  beta1: float = 0.9, beta2: float = 0.999,
                  eps: float = 1e-7,
                  update_mode: str = "auto",
+                 route_mode: str = "auto",
+                 route_cap_factor: float = 2.0,
+                 route_ov_cap: Optional[int] = None,
                  dtype=jnp.float32):
         if optimizer not in ("adagrad", "adam"):
             raise ValueError(f"unknown optimizer {optimizer!r}")
         if update_mode not in ("auto", "sparse", "dense"):
             raise ValueError(f"unknown update_mode {update_mode!r}")
+        if route_mode not in ("auto", "allgather", "routed"):
+            raise ValueError(f"unknown route_mode {route_mode!r}")
         self.mesh = mesh
         self.axis_name = axis_name
         self.num_shards = mesh.shape[axis_name]
@@ -121,6 +149,15 @@ class ShardedEmbeddingTable:
                            if streamed <= self.DENSE_UPDATE_MAX_BYTES
                            else "sparse")
         self.update_mode = update_mode
+        if route_mode == "auto":
+            # routed beats allgather once the redundant (n-1)x row
+            # exchange outweighs the dedup sorts; n=1 has no exchange
+            route_mode = "routed" if self.num_shards >= 4 else "allgather"
+        elif route_mode == "routed" and self.num_shards == 1:
+            route_mode = "allgather"     # no exchange to route
+        self.route_mode = route_mode
+        self.route_cap_factor = route_cap_factor
+        self.route_ov_cap = route_ov_cap
 
     # -- shardings ---------------------------------------------------------
     @property
@@ -248,6 +285,109 @@ class ShardedEmbeddingTable:
             count=repl if adam else None)
         return jax.jit(_init, out_shardings=out_sh)(key)
 
+    # -- routed-exchange plumbing -------------------------------------------
+    def _route_caps(self, b: int) -> Tuple[int, int]:
+        """Static (cap, ov_cap) bucket sizes for b flat ids per shard.
+
+        cap = per-owner all_to_all bucket; ov_cap = all-gather overflow
+        lane for skew beyond ``route_cap_factor`` x the uniform share.
+        """
+        n = self.num_shards
+        cap = int(-(-self.route_cap_factor * b // n))
+        cap = max(8, -(-cap // 8) * 8)
+        ov_cap = self.route_ov_cap
+        if ov_cap is None:
+            ov_cap = max(8, b // 16)
+        ov_cap = max(8, -(-ov_cap // 8) * 8)
+        return cap, ov_cap
+
+    def exchange_bytes(self, flat_per_shard: int) -> dict:
+        """Analytic per-shard interconnect bytes per train step.
+
+        Counts bytes each shard *receives* for one lookup + one update
+        of ``flat_per_shard`` ids (ring-collective accounting:
+        all_gather/all_to_all of an (n*c,) buffer delivers (n-1)*c
+        elements; psum_scatter of (n*c, D) moves (n-1)*c*D).  Used for
+        the BASELINE.md scaling table — the real 1->N curve is not
+        measurable on this rig (single chip), so the payload model is
+        the stand-in.
+        """
+        n, d = self.num_shards, self.dim
+        b = flat_per_shard
+        i4 = f4 = 4
+        cap, ov = self._route_caps(b)
+        ag_lookup = (n - 1) * b * i4 + (n - 1) * b * d * f4
+        ag_update = (n - 1) * b * i4 + (n - 1) * b * d * f4
+        rt_lookup = ((n - 1) * cap * i4          # a2a ids out
+                     + (n - 1) * cap * d * f4    # a2a rows back
+                     + (n - 1) * ov * i4         # overflow ids gather
+                     + (n - 1) * ov * d * f4)    # overflow rows scatter
+        rt_update = ((n - 1) * cap * i4 + (n - 1) * cap * d * f4
+                     + (n - 1) * ov * (i4 + d * f4))
+        return {
+            "n": n, "flat_per_shard": b, "cap": cap, "ov_cap": ov,
+            "allgather": {"lookup": ag_lookup, "update": ag_update,
+                          "total": ag_lookup + ag_update},
+            "routed": {"lookup": rt_lookup, "update": rt_update,
+                       "total": rt_lookup + rt_update},
+        }
+
+    def _owned_rows_for(self, table_local, ids, valid):
+        """Fetch rows for owned ids; invalid positions read zero."""
+        rows = self._fetch_rows(
+            table_local, jnp.where(valid, ids // self.num_shards, 0))
+        return rows * valid.astype(rows.dtype)[:, None]
+
+    def _owned_grad_candidates(self, flat_ids_local, flat_grads_local,
+                               routed: Optional[bool] = None):
+        """Inside a shard_map body: grads for rows THIS shard owns.
+
+        Exchange-strategy dispatch for the update path.  Returns
+        ``(mine (K,) bool, local_rows (K,), g (K, D))`` candidate rows —
+        the same row may appear multiple times (allgather: per
+        occurrence; routed: once per source shard); callers either
+        ``_dedup_rows`` or scatter-add, both of which sum duplicates.
+
+        Args:
+            routed: force (True) / forbid (False) the routed exchange;
+                None follows ``self.route_mode``.  Per-occurrence
+                callers pass False (routing pre-sums duplicates).
+        """
+        axis, n = self.axis_name, self.num_shards
+        my = jax.lax.axis_index(axis)
+        if routed is None:
+            routed = self.route_mode == "routed"
+        if not routed:
+            all_ids = jax.lax.all_gather(flat_ids_local, axis, tiled=True)
+            all_grads = jax.lax.all_gather(flat_grads_local, axis,
+                                           tiled=True)
+            mine = all_ids % n == my
+            local_rows = jnp.where(mine, all_ids // n, 0)
+            g = all_grads * mine.astype(all_grads.dtype)[:, None]
+            return mine, local_rows, g
+        b = flat_ids_local.shape[0]
+        cap, ov_cap = self._route_caps(b)
+        uid, slot = exchange.sort_dedup(flat_ids_local)
+        # pre-sum this shard's duplicate ids before they travel
+        gsum = jax.ops.segment_sum(flat_grads_local, slot, num_segments=b)
+        plan = exchange.plan_route(uid, n, cap, ov_cap)
+        send_g, ov_g = exchange.scatter_planned(plan, gsum)
+        recv_ids = jax.lax.all_to_all(plan.send_ids, axis, 0, 0,
+                                      tiled=True)          # (n*cap,)
+        recv_g = jax.lax.all_to_all(send_g, axis, 0, 0,
+                                    tiled=True)            # (n*cap, D)
+        all_ov_ids = jax.lax.all_gather(plan.ov_ids, axis,
+                                        tiled=True)        # (n*ov_cap,)
+        all_ov_g = jax.lax.all_gather(ov_g, axis, tiled=True)
+        ov_mine = (all_ov_ids < exchange.BIG) & (all_ov_ids % n == my)
+        cand_ids = jnp.concatenate(
+            [recv_ids, jnp.where(ov_mine, all_ov_ids, exchange.BIG)])
+        cand_g = jnp.concatenate(
+            [recv_g, all_ov_g * ov_mine.astype(all_ov_g.dtype)[:, None]])
+        mine = cand_ids < exchange.BIG
+        local_rows = jnp.where(mine, cand_ids // n, 0)
+        return mine, local_rows, cand_g
+
     # -- lookup ------------------------------------------------------------
     def lookup(self, state: ShardedTableState,
                ids: jnp.ndarray) -> jnp.ndarray:
@@ -281,13 +421,44 @@ class ShardedEmbeddingTable:
             return jax.lax.psum_scatter(rows, axis, scatter_dimension=0,
                                         tiled=True)        # (b, D)
 
+        @functools.partial(
+            shard_map, mesh=self.mesh,
+            in_specs=(P(axis, None), P(axis)),
+            out_specs=P(axis, None))
+        def _lookup_routed(table_local, flat_ids_local):
+            my = jax.lax.axis_index(axis)
+            b = flat_ids_local.shape[0]
+            cap, ov_cap = self._route_caps(b)
+            uid, slot = exchange.sort_dedup(flat_ids_local)
+            plan = exchange.plan_route(uid, n, cap, ov_cap)
+            # req block i = ids shard i wants from me (all owned by me)
+            req = jax.lax.all_to_all(plan.send_ids, axis, 0, 0,
+                                     tiled=True)           # (n*cap,)
+            rows = self._owned_rows_for(table_local, req,
+                                        req < exchange.BIG)
+            # back[k] = row for plan.send_ids[k]
+            back = jax.lax.all_to_all(rows, axis, 0, 0,
+                                      tiled=True)          # (n*cap, D)
+            # overflow lane = the allgather path restricted to the spill
+            all_ov = jax.lax.all_gather(plan.ov_ids, axis,
+                                        tiled=True)        # (n*ov_cap,)
+            ov_rows = self._owned_rows_for(
+                table_local, all_ov,
+                (all_ov < exchange.BIG) & (all_ov % n == my))
+            ov_back = jax.lax.psum_scatter(
+                ov_rows, axis, scatter_dimension=0,
+                tiled=True)                                # (ov_cap, D)
+            return exchange.gather_planned(plan, back, ov_back, slot)
+
         flat = ids.reshape(-1).astype(jnp.int32)
         # pad to a multiple of the shard count (query sizes are user
         # controlled; eval/debug lookups are often tiny)
         padded = -flat.shape[0] % n
         if padded:
             flat = jnp.concatenate([flat, jnp.zeros((padded,), flat.dtype)])
-        out = _lookup(state.table, flat)
+        kernel = (_lookup_routed if self.route_mode == "routed"
+                  else _lookup)
+        out = kernel(state.table, flat)
         if padded:
             out = out[:-padded]
         return out.reshape(orig_shape + (self.dim,))
@@ -374,14 +545,9 @@ class ShardedEmbeddingTable:
             out_specs=(P(axis, None), P(axis, None)))
         def _update(table_local, acc_local, flat_ids_local,
                     flat_grads_local):
-            my = jax.lax.axis_index(axis)
-            all_ids = jax.lax.all_gather(flat_ids_local, axis, tiled=True)
-            all_grads = jax.lax.all_gather(flat_grads_local, axis,
-                                           tiled=True)
-            owner = all_ids % n
-            mine = owner == my
-            local_rows = jnp.where(mine, all_ids // n, 0)
-            g = all_grads * mine.astype(all_grads.dtype)[:, None]
+            mine, local_rows, g = self._owned_grad_candidates(
+                flat_ids_local, flat_grads_local,
+                routed=None if dedup else False)
 
             if dedup:
                 rows, row_grad, valid = self._dedup_rows(mine, local_rows,
@@ -439,7 +605,6 @@ class ShardedEmbeddingTable:
                                    lr: float,
                                    valid_mask: Optional[jnp.ndarray]
                                    ) -> ShardedTableState:
-        n = self.num_shards
         axis = self.axis_name
 
         @functools.partial(
@@ -449,14 +614,8 @@ class ShardedEmbeddingTable:
             out_specs=(P(axis, None), P(axis, None)))
         def _update(table_local, acc_local, flat_ids_local,
                     flat_grads_local):
-            my = jax.lax.axis_index(axis)
-            all_ids = jax.lax.all_gather(flat_ids_local, axis, tiled=True)
-            all_grads = jax.lax.all_gather(flat_grads_local, axis,
-                                           tiled=True)
-            owner = all_ids % n
-            mine = owner == my
-            rows = jnp.where(mine, all_ids // n, 0)
-            g = all_grads * mine.astype(all_grads.dtype)[:, None]
+            mine, rows, g = self._owned_grad_candidates(
+                flat_ids_local, flat_grads_local)
             dense_g = self._scatter_dense_grads(table_local, rows, g)
             if jax.default_backend() == "tpu" and self.pack > 1:
                 from rec_now_tpu.ops.pallas.table_update_kernel import (
@@ -488,7 +647,6 @@ class ShardedEmbeddingTable:
         A second (narrow) ones-scatter builds the touched mask; moments
         decay only on touched rows, matching the sparse path.
         """
-        n = self.num_shards
         axis = self.axis_name
         b1, b2, eps = self.beta1, self.beta2, self.eps
 
@@ -499,14 +657,8 @@ class ShardedEmbeddingTable:
             out_specs=(P(axis, None), P(axis, None), P(axis, None)))
         def _update(table_local, m_local, v_local,
                     flat_ids_local, flat_grads_local, t):
-            my = jax.lax.axis_index(axis)
-            all_ids = jax.lax.all_gather(flat_ids_local, axis, tiled=True)
-            all_grads = jax.lax.all_gather(flat_grads_local, axis,
-                                           tiled=True)
-            owner = all_ids % n
-            mine = owner == my
-            rows = jnp.where(mine, all_ids // n, 0)
-            g = all_grads * mine.astype(all_grads.dtype)[:, None]
+            mine, rows, g = self._owned_grad_candidates(
+                flat_ids_local, flat_grads_local)
             dense_g = self._scatter_dense_grads(table_local, rows, g)
             pr_s, cnt_lines = self._expand_scalar(
                 rows, mine.astype(table_local.dtype))
@@ -565,14 +717,8 @@ class ShardedEmbeddingTable:
             out_specs=(P(axis, None), P(axis, None), P(axis, None)))
         def _update(table_local, m_local, v_local,
                     flat_ids_local, flat_grads_local, t):
-            my = jax.lax.axis_index(axis)
-            all_ids = jax.lax.all_gather(flat_ids_local, axis, tiled=True)
-            all_grads = jax.lax.all_gather(flat_grads_local, axis,
-                                           tiled=True)
-            owner = all_ids % n
-            mine = owner == my
-            local_rows = jnp.where(mine, all_ids // n, 0)
-            g = all_grads * mine.astype(all_grads.dtype)[:, None]
+            mine, local_rows, g = self._owned_grad_candidates(
+                flat_ids_local, flat_grads_local)
 
             rows, row_grad, valid = self._dedup_rows(mine, local_rows, g)
             safe = jnp.minimum(rows, self.vocab_size // n - 1)

@@ -48,6 +48,12 @@ def main(argv=None):
                    help="embedding optimizer apply strategy: sparse = "
                         "rows-touched-only scatter, dense = whole-shard "
                         "streaming passes, auto = by local shard size")
+    p.add_argument("--sparse-route-mode", default="auto",
+                   choices=["auto", "allgather", "routed"],
+                   help="sharded-table exchange: allgather = gather all "
+                        "global ids everywhere (small meshes), routed = "
+                        "dedup + owner-bucketed all_to_all (payload "
+                        "O(b) not O(n*b)), auto = routed when >=4 shards")
     p.add_argument("--scan-window", type=int, default=0,
                    help="run this many steps per on-device lax.scan "
                         "dispatch (0 = one dispatch per step)")
@@ -92,6 +98,7 @@ def main(argv=None):
         dense_lr=args.dense_lr, sparse_lr=args.sparse_lr,
         sparse_optimizer=args.sparse_optimizer,
         sparse_update_mode=args.sparse_update_mode,
+        sparse_route_mode=args.sparse_route_mode,
         num_tasks=num_tasks)
     mesh = make_mesh()
     trainer = Trainer(model, fc, cfg, mesh=mesh)

@@ -56,6 +56,7 @@ class TrainerConfig:
     sparse_lr: float = 0.05
     sparse_optimizer: str = "adagrad"   # "adagrad" | "adam" (lazy, rowwise)
     sparse_update_mode: str = "auto"    # "auto" | "sparse" | "dense"
+    sparse_route_mode: str = "auto"     # "auto" | "allgather" | "routed"
     num_tasks: int = 1          # >1: multi-task (CTR + CVR) heads
     # CAN co-action (benchmark config #5): when set, a second sharded
     # table holds per-item co-action DNN parameters, looked up by this
@@ -95,7 +96,8 @@ class Trainer:
             vocab_size=feature_config.total_rows,
             dim=feature_config.embedding_dim, mesh=self.mesh,
             optimizer=config.sparse_optimizer,
-            update_mode=config.sparse_update_mode)
+            update_mode=config.sparse_update_mode,
+            route_mode=config.sparse_route_mode)
         self.can_table = None
         if config.can_param_field is not None:
             from rec_now_tpu.models.can_dcn_model import CANDCNModel
@@ -108,7 +110,8 @@ class Trainer:
                 vocab_size=feature_config.rows_per_field, dim=can_dim,
                 mesh=self.mesh, initializer_scale=0.05,
                 optimizer=config.sparse_optimizer,
-                update_mode=config.sparse_update_mode)
+                update_mode=config.sparse_update_mode,
+                route_mode=config.sparse_route_mode)
         self.tx = optax.adam(config.dense_lr)
         # pass the per-sample domain only to models that route on it
         # (MultiTaskModel's STAR towers); single-task towers don't take it
