@@ -51,6 +51,7 @@ class TestRoutedLookup:
         r = tr.lookup(state, ids)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(r))
 
+    @pytest.mark.slow
     def test_duplicate_heavy_batch(self, mesh):
         ta, tr = _pair(mesh)
         state = ta.init(KEY)
@@ -58,6 +59,7 @@ class TestRoutedLookup:
         np.testing.assert_array_equal(np.asarray(ta.lookup(state, ids)),
                                       np.asarray(tr.lookup(state, ids)))
 
+    @pytest.mark.slow
     def test_overflow_lane(self, mesh):
         # skew every id onto shard 0 (multiples of 8) with a cap too
         # small for the uniques -> the overflow all-gather lane carries

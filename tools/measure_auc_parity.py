@@ -50,7 +50,17 @@ def run_tf(train_batches, eval_batches):
         tf.keras.layers.Dense(256, activation="relu"),
         tf.keras.layers.Dense(128)])
     head = tf.keras.layers.Dense(1)
+    # match the default rec_now_tpu optimizer split: Adam(1e-3) on the
+    # dense towers, Adagrad(0.05, acc0=0.1) on the embedding table
+    # (ours is ROW-wise adagrad — one accumulator per row, mean over
+    # dim — vs TF's per-element; the parity bar absorbs that)
+    sparse_opt_name = os.environ.get("PARITY_SPARSE_OPT", "adagrad")
     opt = tf.keras.optimizers.Adam(1e-3)
+    if sparse_opt_name == "adagrad":
+        table_opt = tf.keras.optimizers.Adagrad(
+            learning_rate=0.05, initial_accumulator_value=0.1)
+    else:
+        table_opt = tf.keras.optimizers.Adam(1e-3)
 
     def forward(dense, ids):
         emb = tf.nn.embedding_lookup(table, ids)
@@ -69,7 +79,12 @@ def run_tf(train_batches, eval_batches):
             loss = pw + 0.5 * pl
         variables = tape.watched_variables()
         grads = tape.gradient(loss, variables)
-        opt.apply_gradients(zip(grads, variables))
+        table_gv = [(g, v) for g, v in zip(grads, variables)
+                    if v is table]
+        dense_gv = [(g, v) for g, v in zip(grads, variables)
+                    if v is not table]
+        opt.apply_gradients(dense_gv)
+        table_opt.apply_gradients(table_gv)
         return loss
 
     for b in train_batches:
