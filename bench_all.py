@@ -62,37 +62,44 @@ def main():
                                     MultiTaskModel, CANDCNModel)
     from rec_now_tpu.training import TrainerConfig
 
+    # BENCH_ONLY="3" or "3,5" benches a subset (skips the JSON rewrite)
+    only = {int(x) for x in os.environ.get("BENCH_ONLY", "").split(",")
+            if x.strip()}
+
+    specs = [
+        ("1: FM + pointwise BCE",
+         lambda: (FMModel(), TrainerConfig(pointwise_weight=1.0))),
+        ("2: DCN-v2 + SENET pointwise",
+         lambda: (DCNv2Model(), TrainerConfig(pointwise_weight=1.0))),
+        ("3: xDeepFM CIN+iPNN pairwise",
+         lambda: (XDeepFMModel(),
+                  TrainerConfig(pointwise_weight=1.0, pairwise_weight=1.0,
+                                click_occurance_power=-0.5))),
+        ("4: MMoE+PLE+STAR multitask + listwise",
+         lambda: (MultiTaskModel(num_task=2),
+                  TrainerConfig(pointwise_weight=1.0, listwise_weight=0.5,
+                                num_tasks=2))),
+        ("5: CAN + DCN-v2 pairwise (two sharded tables)",
+         lambda: (CANDCNModel(),
+                  TrainerConfig(pointwise_weight=1.0, pairwise_weight=0.5,
+                                can_param_field=8, can_dnn_dims=(16,)))),
+    ]
     results = []
-    results.append(bench_one(
-        "1: FM + pointwise BCE",
-        FMModel(), TrainerConfig(pointwise_weight=1.0)))
-    results.append(bench_one(
-        "2: DCN-v2 + SENET pointwise",
-        DCNv2Model(), TrainerConfig(pointwise_weight=1.0)))
-    results.append(bench_one(
-        "3: xDeepFM CIN+iPNN pairwise",
-        XDeepFMModel(),
-        TrainerConfig(pointwise_weight=1.0, pairwise_weight=1.0,
-                      click_occurance_power=-0.5)))
-    results.append(bench_one(
-        "4: MMoE+PLE+STAR multitask + listwise",
-        MultiTaskModel(num_task=2),
-        TrainerConfig(pointwise_weight=1.0, listwise_weight=0.5,
-                      num_tasks=2)))
-    results.append(bench_one(
-        "5: CAN + DCN-v2 pairwise (two sharded tables)",
-        CANDCNModel(),
-        TrainerConfig(pointwise_weight=1.0, pairwise_weight=0.5,
-                      can_param_field=8, can_dnn_dims=(16,))))
+    for i, (name, make) in enumerate(specs, start=1):
+        if only and i not in only:
+            continue
+        model, cfg = make()
+        results.append(bench_one(name, model, cfg))
 
     import jax
     out = {"batch": BATCH, "devices": len(jax.devices()),
            "results": results}
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "BENCH_ALL.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
+    if not only:
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_ALL.json")
+        with open(path, "w") as f:
+            json.dump(out, f, indent=2)
 
 
 if __name__ == "__main__":

@@ -52,11 +52,21 @@ _PREC = jax.lax.Precision.DEFAULT
 def _dot(a, b, dims):
     # bf16 operands on TPU (native single-pass MXU, f32 accumulate);
     # full f32 in interpret mode so CPU golden tests stay bit-tight.
+    # astype is a no-op for operands already bf16 (the resident
+    # constants are pre-cast OUTSIDE the kernel — a convert traced here
+    # would re-execute on every grid iteration).
     if jax.default_backend() == "tpu":
         a = a.astype(jnp.bfloat16)
         b = b.astype(jnp.bfloat16)
     return jax.lax.dot_general(a, b, (dims, ((), ())), precision=_PREC,
                                preferred_element_type=jnp.float32)
+
+
+def _const_dtype(a):
+    """Resident constant operands in MXU-native bf16 on TPU."""
+    if jax.default_backend() == "tpu":
+        return a.astype(jnp.bfloat16)
+    return a
 
 
 def _broadcast_mat(f: int, k: int) -> np.ndarray:
@@ -129,9 +139,9 @@ def _cin_flat_fwd_impl(x0, prev, weight):
     m, f = x0.shape
     h = prev.shape[1]
     k = weight.shape[0]
-    wr = _weight_to_wr(weight)                          # (H, F*K)
-    r = jnp.asarray(_broadcast_mat(f, k))
-    sel = jnp.asarray(_select_mat(f, k))
+    wr = _const_dtype(_weight_to_wr(weight))            # (H, F*K)
+    r = _const_dtype(jnp.asarray(_broadcast_mat(f, k)))
+    sel = _const_dtype(jnp.asarray(_select_mat(f, k)))
 
     tile_m = _pick_tile_m(m, f, h, k, n_temps=3)
     pad = -m % tile_m
@@ -208,9 +218,9 @@ def _cin_flat_bwd(residuals, g):
     m, f = x0.shape
     h = prev.shape[1]
     k = weight.shape[0]
-    wr = _weight_to_wr(weight)                          # (H, F*K)
-    r = jnp.asarray(_broadcast_mat(f, k))
-    sel = jnp.asarray(_select_mat(f, k))
+    wr = _const_dtype(_weight_to_wr(weight))            # (H, F*K)
+    r = _const_dtype(jnp.asarray(_broadcast_mat(f, k)))
+    sel = _const_dtype(jnp.asarray(_select_mat(f, k)))
 
     tile_m = _pick_tile_m(m, f, h, k, n_temps=5)
     pad = -m % tile_m
@@ -293,6 +303,17 @@ def cin_pallas(x0: jnp.ndarray, prev: jnp.ndarray,
 # sum reads x0 once and writes a single (M, 1) output; the backward
 # recomputes the hiddens in VMEM (flash-attention-style) and writes only
 # dx0 + the weight grads.  HBM traffic drops ~10x.
+#
+# Last-layer collapse (exact): the channel sum makes the final layer's
+# K_n-wide FK-domain dots redundant —
+#
+#     sum_k sum_{f,h} W_n[k,f,h] x0[m,f] prev[m,h]
+#   = sum_{f,h} Wc[h,f] x0[m,f] prev[m,h],   Wc = (sum_k W_n)^T
+#
+# i.e. one tiny (TM,H)x(H,F) dot + a masked rowsum instead of the
+# 2*M*F*K*(H+K) main/reduction dots; likewise dW_n[k] = dWc for every k
+# and dprev flows through Wc alone.  This removes the single largest
+# dot of both passes (~1.8x total-FLOP cut for the 2x64-layer config).
 # ---------------------------------------------------------------------------
 
 
@@ -308,12 +329,16 @@ def _stack_fwd_kernel(n_layers, ks, kidx, output_input,
                       x0_ref, *refs):
     """Forward: x0 -> sum over all concatenated channels, one tile.
 
-    refs: wr_1..wr_n, r_(uniq), sel_(uniq), out_ref.
+    refs: wr_1..wr_{n-1}, wc, r_(uniq), sel_(uniq), out_ref, where
+    ``wc`` (H_{n-1}, F) is the channel-collapsed last-layer weight and
+    uniq ranges over ks[:-1] (the layers that still need FK buffers).
     """
-    n_uniq = len(set(ks))
-    wr_refs = refs[:n_layers]
-    r_refs = refs[n_layers:n_layers + n_uniq]
-    sel_refs = refs[n_layers + n_uniq:n_layers + 2 * n_uniq]
+    n_mid = n_layers - 1
+    n_uniq = len(set(ks[:n_mid]))
+    wr_refs = refs[:n_mid]
+    wc_ref = refs[n_mid]
+    r_refs = refs[n_mid + 1:n_mid + 1 + n_uniq]
+    sel_refs = refs[n_mid + 1 + n_uniq:n_mid + 1 + 2 * n_uniq]
     out_ref = refs[-1]
 
     x0 = x0_ref[:]                                      # (TM, F)
@@ -321,15 +346,17 @@ def _stack_fwd_kernel(n_layers, ks, kidx, output_input,
            else jnp.zeros((x0.shape[0], 1), jnp.float32))
     xs = {}                                             # X per distinct K
     prev = x0
-    for i in range(n_layers):
+    for i in range(n_mid):
         ki = kidx[i]
         if ki not in xs:
             xs[ki] = _dot(x0, r_refs[ki][:], (((1,), (0,))))
         t = _dot(prev, wr_refs[i][:], (((1,), (0,))))   # (TM, F*K_i)
         tx = t * xs[ki]
         acc = acc + jnp.sum(tx, axis=1, keepdims=True)
-        if i + 1 < n_layers:
-            prev = _dot(tx, sel_refs[ki][:], (((1,), (0,))))  # h_i
+        prev = _dot(tx, sel_refs[ki][:], (((1,), (0,))))  # h_i
+    # collapsed last layer: sum_k of its channels in one (H, F) dot
+    z = _dot(prev, wc_ref[:], (((1,), (0,))))           # (TM, F)
+    acc = acc + jnp.sum(x0 * z, axis=1, keepdims=True)
     out_ref[:] = acc.astype(out_ref.dtype)
 
 
@@ -337,14 +364,20 @@ def _stack_bwd_kernel(n_layers, ks, kidx, output_input,
                       x0_ref, g_ref, *refs):
     """Backward: recompute hiddens in VMEM, emit dx0 + per-layer dWr.
 
-    refs: wr_1..wr_n, r_(uniq), sel_(uniq), dx0_ref, dwr_1..dwr_n.
+    refs: wr_1..wr_{n-1}, wc, r_(uniq), sel_(uniq),
+          dx0_ref, dwr_1..dwr_{n-1}, dwc_ref — the last layer
+    contributes only through the collapsed ``wc`` (H_{n-1}, F);
+    ``dwc_ref`` is its (F, H_{n-1}) grad (equal for every channel k).
     """
-    n_uniq = len(set(ks))
-    wr_refs = refs[:n_layers]
-    r_refs = refs[n_layers:n_layers + n_uniq]
-    sel_refs = refs[n_layers + n_uniq:n_layers + 2 * n_uniq]
-    dx0_ref = refs[n_layers + 2 * n_uniq]
-    dwr_refs = refs[n_layers + 2 * n_uniq + 1:]
+    n_mid = n_layers - 1
+    n_uniq = len(set(ks[:n_mid]))
+    wr_refs = refs[:n_mid]
+    wc_ref = refs[n_mid]
+    r_refs = refs[n_mid + 1:n_mid + 1 + n_uniq]
+    sel_refs = refs[n_mid + 1 + n_uniq:n_mid + 1 + 2 * n_uniq]
+    dx0_ref = refs[n_mid + 1 + 2 * n_uniq]
+    dwr_refs = refs[n_mid + 2 + 2 * n_uniq:n_mid + 2 + 2 * n_uniq + n_mid]
+    dwc_ref = refs[-1]
 
     x0 = x0_ref[:]                                      # (TM, F)
     g = g_ref[:]                                        # (TM, 1)
@@ -353,33 +386,36 @@ def _stack_bwd_kernel(n_layers, ks, kidx, output_input,
     def _():
         for dwr in dwr_refs:
             dwr[:] = jnp.zeros_like(dwr)
+        dwc_ref[:] = jnp.zeros_like(dwc_ref)
 
     # forward recompute of the (small) hiddens
     xs = {}
     prevs = [x0]
-    for i in range(n_layers - 1):
+    for i in range(n_mid):
         ki = kidx[i]
         if ki not in xs:
             xs[ki] = _dot(x0, r_refs[ki][:], (((1,), (0,))))
         t = _dot(prevs[i], wr_refs[i][:], (((1,), (0,))))
         prevs.append(_dot(t * xs[ki], sel_refs[ki][:], (((1,), (0,)))))
-    ki_last = kidx[n_layers - 1]
-    if ki_last not in xs:
-        xs[ki_last] = _dot(x0, r_refs[ki_last][:], (((1,), (0,))))
 
     dx0 = g * jnp.ones_like(x0) if output_input else jnp.zeros_like(x0)
-    dh = None                                           # grad into h_i
-    for i in range(n_layers - 1, -1, -1):
+    # collapsed last layer: acc += rowsum(x0 * (prev @ wc))
+    p_last = prevs[-1]                                  # (TM, H_{n-1})
+    z = _dot(p_last, wc_ref[:], (((1,), (0,))))         # (TM, F)
+    dx0 = dx0 + g * z
+    dwc_ref[:] += _dot(x0 * g, p_last, (((0,), (0,)))
+                       ).astype(dwc_ref.dtype)          # (F, H_{n-1})
+    dprev = g * _dot(x0, wc_ref[:], (((1,), (1,))))     # (TM, H_{n-1})
+    if n_mid == 0:
+        dx0 = dx0 + dprev                               # prev is x0
+    dh = dprev                                          # grad into h_i
+    for i in range(n_mid - 1, -1, -1):
         ki = kidx[i]
-        k = ks[i]
-        # total grad wrt h_i in the FK domain: the rowsum term is g on
+        # total grad wrt tx_i in the FK domain: the rowsum term is g on
         # every lane; the feed-forward term comes via SEL^T.
         t = _dot(prevs[i], wr_refs[i][:], (((1,), (0,))))  # recompute T_i
-        if dh is None:
-            gt = g * jnp.ones_like(t)                   # last layer
-        else:
-            gt = (_dot(dh, sel_refs[ki][:], (((1,), (1,))))
-                  + g * jnp.ones_like(t))
+        gt = (_dot(dh, sel_refs[ki][:], (((1,), (1,))))
+              + g * jnp.ones_like(t))
         dt = gt * xs[ki]                                # (TM, F*K_i)
         dx0 = dx0 + _dot(gt * t, r_refs[ki][:], (((1,), (1,))))
         dwr_refs[i][:] += _dot(prevs[i], dt, (((0,), (0,)))
@@ -396,12 +432,16 @@ def _stack_prep(x0, weights):
     m, f = x0.shape
     ks = [int(w.shape[0]) for w in weights]
     hs = [f] + ks[:-1]
-    uniq, r_map, sel_map = _stack_consts(f, ks)
-    kidx = [uniq.index(k) for k in ks]
-    wrs = [_weight_to_wr(w) for w in weights]
-    rs = [r_map[k] for k in uniq]
-    sels = [sel_map[k] for k in uniq]
-    return m, f, ks, hs, uniq, kidx, wrs, rs, sels
+    # only the non-last layers need FK-domain constants; the last layer
+    # is channel-collapsed to wc (H_{n-1}, F)
+    uniq, r_map, sel_map = _stack_consts(f, ks[:-1])
+    kidx = [uniq.index(k) for k in ks[:-1]]
+    wrs = [_const_dtype(_weight_to_wr(w)) for w in weights[:-1]]
+    wc = _const_dtype(
+        jnp.transpose(jnp.sum(weights[-1], axis=0), (1, 0)))  # (H, F)
+    rs = [_const_dtype(r_map[k]) for k in uniq]
+    sels = [_const_dtype(sel_map[k]) for k in uniq]
+    return m, f, ks, hs, uniq, kidx, wrs, wc, rs, sels
 
 
 def _const_spec(a):
@@ -428,9 +468,9 @@ def cin_stack_sum(x0: jnp.ndarray, weights, output_input: bool = True
 
 
 def _cin_stack_fwd_impl(x0, weights, output_input):
-    m, f, ks, hs, uniq, kidx, wrs, rs, sels = _stack_prep(x0, weights)
-    fk_max = f * max(ks)
-    tile_m = _pick_tile_m(m, f, max(ks), max(ks), n_temps=3)
+    m, f, ks, hs, uniq, kidx, wrs, wc, rs, sels = _stack_prep(x0, weights)
+    kmax = max(ks[:-1], default=1)
+    tile_m = _pick_tile_m(m, f, kmax, kmax, n_temps=3)
     pad = -m % tile_m
     x0p = jnp.pad(x0, ((0, pad), (0, 0))) if pad else x0
     mp = x0p.shape[0]
@@ -442,18 +482,19 @@ def _cin_stack_fwd_impl(x0, weights, output_input):
         grid=(mp // tile_m,),
         in_specs=([pl.BlockSpec((tile_m, f), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)]
-                  + [_const_spec(a) for a in wrs + rs + sels]),
+                  + [_const_spec(a) for a in wrs + [wc] + rs + sels]),
         out_specs=pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((mp, 1), x0.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * sum(f * k * (h + f + k)
-                               for k, h in zip(ks, hs)),
+            flops=(2 * mp * sum(f * k * (h + f + k)
+                                for k, h in zip(ks[:-1], hs[:-1]))
+                   + 2 * mp * hs[-1] * f),
             bytes_accessed=(mp * f + mp
                             + sum(k * f * h for k, h in zip(ks, hs))) * 4,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
-    )(x0p, *wrs, *rs, *sels)
+    )(x0p, *wrs, wc, *rs, *sels)
     return out[:m, 0]
 
 
@@ -464,9 +505,9 @@ def _cin_stack_fwd(x0, weights, output_input):
 
 def _cin_stack_bwd(output_input, residuals, g):
     x0, weights = residuals
-    m, f, ks, hs, uniq, kidx, wrs, rs, sels = _stack_prep(x0, weights)
-    tile_m = _pick_tile_m(m, f, max(ks), max(ks),
-                          n_temps=4 + len(uniq))
+    m, f, ks, hs, uniq, kidx, wrs, wc, rs, sels = _stack_prep(x0, weights)
+    kmax = max(ks[:-1], default=1)
+    tile_m = _pick_tile_m(m, f, kmax, kmax, n_temps=4 + len(uniq))
     pad = -m % tile_m
     if pad:
         x0p = jnp.pad(x0, ((0, pad), (0, 0)))
@@ -484,27 +525,35 @@ def _cin_stack_bwd(output_input, residuals, g):
                                 memory_space=pltpu.VMEM),
                    pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)]
-                  + [_const_spec(a) for a in wrs + rs + sels]),
+                  + [_const_spec(a) for a in wrs + [wc] + rs + sels]),
         out_specs=([pl.BlockSpec((tile_m, f), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
-                   + [_const_spec(a) for a in wrs]),
+                   + [_const_spec(a) for a in wrs]
+                   + [_const_spec(jnp.zeros((f, hs[-1])))]),
         out_shape=([jax.ShapeDtypeStruct((mp, f), x0.dtype)]
                    + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
-                      for w in wrs]),
+                      for w in wrs]
+                   + [jax.ShapeDtypeStruct((f, hs[-1]), jnp.float32)]),
         cost_estimate=pl.CostEstimate(
-            flops=6 * mp * sum(f * k * (h + f + k)
-                               for k, h in zip(ks, hs)),
+            flops=(6 * mp * sum(f * k * (h + f + k)
+                                for k, h in zip(ks[:-1], hs[:-1]))
+                   + 6 * mp * hs[-1] * f),
             bytes_accessed=(mp * (2 * f + 1)
                             + 2 * sum(k * f * h
                                       for k, h in zip(ks, hs))) * 4,
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
-    )(x0p, gp, *wrs, *rs, *sels)
+    )(x0p, gp, *wrs, wc, *rs, *sels)
     dx0 = outs[0][:m]
     dws = tuple(
         jnp.transpose(dwr.reshape(h, f, k), (2, 1, 0)).astype(w.dtype)
-        for dwr, w, k, h in zip(outs[1:], weights, ks, hs))
-    return dx0, dws
+        for dwr, w, k, h in zip(outs[1:-1], weights[:-1], ks[:-1],
+                                hs[:-1]))
+    # every channel of the last layer shares the collapsed grad
+    dwc = outs[-1]                                      # (F, H_{n-1})
+    dw_last = jnp.broadcast_to(
+        dwc[None, ...].astype(weights[-1].dtype), weights[-1].shape)
+    return dx0, dws + (dw_last,)
 
 
 cin_stack_sum.defvjp(_cin_stack_fwd, _cin_stack_bwd)
