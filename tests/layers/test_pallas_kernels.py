@@ -110,6 +110,37 @@ class TestCINStackKernel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("hidden", [(5,), (5, 4, 6)])
+    def test_layer_counts_fwd_bwd(self, hidden):
+        """1-layer (collapsed-only, no FK constants) and 3-layer stacks."""
+        from rec_now_tpu.ops.pallas.cin_kernel import cin_stack_sum_pallas
+        b, d, f = 2, 3, 4
+        x0 = jax.random.normal(KEY, (b, d, f))
+        ws = tuple(
+            jax.random.normal(jax.random.PRNGKey(11 + i),
+                              (k, f, h)) * 0.3
+            for i, (k, h) in enumerate(zip(hidden, (f,) + hidden[:-1])))
+
+        def loss_pallas(x0, ws):
+            return jnp.sum(jnp.sin(cin_stack_sum_pallas(x0, ws)))
+
+        def loss_ref(x0, ws):
+            return jnp.sum(jnp.sin(self._ref(x0, ws)))
+
+        np.testing.assert_allclose(
+            np.asarray(loss_pallas(x0, ws)), np.asarray(loss_ref(x0, ws)),
+            rtol=1e-4, atol=1e-5)
+        gp = jax.grad(loss_pallas, argnums=(0, 1))(x0, ws)
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x0, ws)
+        # deep stacks accumulate f32 contraction-reorder noise (the
+        # fused kernel sums in a different order); 5e-4 rel is pure
+        # precision, not semantics
+        np.testing.assert_allclose(np.asarray(gp[0]), np.asarray(gr[0]),
+                                   rtol=5e-4, atol=5e-4)
+        for a, b_ in zip(gp[1], gr[1]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=5e-4, atol=5e-4)
+
 
 class TestMultiDenseKernel:
     def test_matches_xla(self):

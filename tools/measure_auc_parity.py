@@ -18,6 +18,11 @@ import time
 
 sys.path.insert(0, "/root/reference")
 
+# the reference subclasses keras.layers.Dense with units=0 (SURVEY.md §1),
+# which keras 3 rejects — run its layers on legacy keras 2 (tf_keras).
+# Must be set before tensorflow is first imported.
+os.environ.setdefault("TF_USE_LEGACY_KERAS", "1")
+
 STEPS = int(os.environ.get("PARITY_STEPS", 400))
 BATCH = int(os.environ.get("PARITY_BATCH", 2048))
 ROWS = 2000
@@ -108,12 +113,14 @@ def run_jax(train_batches, eval_batches):
     from rec_now_tpu.training import Trainer, TrainerConfig
 
     fc = FeatureConfig(rows_per_field=ROWS, embedding_dim=DIM)
+    sparse_opt = os.environ.get("PARITY_SPARSE_OPT", "adagrad")
     trainer = Trainer(
         DCNv2Model(deep_dims=(256, 128), dcn_sub_dim=16),
         fc,
         TrainerConfig(pointwise_weight=1.0, pairwise_weight=0.5,
                       click_occurance_power=-0.5, dense_lr=1e-3,
-                      sparse_lr=0.05),
+                      sparse_optimizer=sparse_opt,
+                      sparse_lr=0.05 if sparse_opt == "adagrad" else 1e-3),
         mesh=make_mesh(1))
     state = trainer.init(jax.random.PRNGKey(0), train_batches[0])
     for b in train_batches:
@@ -121,31 +128,73 @@ def run_jax(train_batches, eval_batches):
     return trainer.evaluate(state, iter(eval_batches))
 
 
-def main():
-    data = get_data()
-    train_batches = list(data.batches(BATCH, STEPS, seed=1))
-    eval_batches = list(data.batches(BATCH, EVAL_BATCHES, seed=999))
+def _repo_root():
+    return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-    t0 = time.time()
-    jax_res = run_jax(train_batches, eval_batches)
-    t_jax = time.time() - t0
-    t0 = time.time()
-    tf_res = run_tf(train_batches, eval_batches)
-    t_tf = time.time() - t0
 
+def _merge_and_write():
+    """Merge per-side part files into AUC_PARITY.json when both exist."""
+    parts = {}
+    for side in ("tf", "jax"):
+        p = os.path.join(_repo_root(), f"AUC_PARITY_{side}.json")
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            parts[side] = json.load(f)
+    tf_res, jax_res = parts["tf"]["result"], parts["jax"]["result"]
     out = {
         "steps": STEPS, "batch": BATCH,
         "tf_reference": tf_res, "rec_now_tpu": jax_res,
         "auc_delta": jax_res["auc"] - tf_res["auc"],
         "gauc_delta": jax_res["gauc"] - tf_res["gauc"],
-        "train_seconds": {"tf_cpu": round(t_tf, 1),
-                          "rec_now_tpu": round(t_jax, 1)},
+        "train_seconds": {"tf_cpu": parts["tf"]["seconds"],
+                          "rec_now_tpu": parts["jax"]["seconds"]},
+        "config": "benchmarked defaults: Adam(1e-3) dense towers, "
+                  "row-wise Adagrad(0.05, acc0=0.1) embedding table "
+                  "(PARITY_SPARSE_OPT=adam measures the all-Adam "
+                  "controlled variant on both sides)",
     }
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "AUC_PARITY.json")
+    # fold in the all-Adam controlled variant when measured
+    adam = {}
+    for s in ("tf", "jax"):
+        p = os.path.join(_repo_root(), f"AUC_PARITY_{s}_adam.json")
+        if os.path.exists(p):
+            with open(p) as f:
+                adam[s] = json.load(f)["result"]
+    if len(adam) == 2:
+        out["tf_reference_adam"] = adam["tf"]
+        out["rec_now_tpu_adam"] = adam["jax"]
+        out["auc_delta_adam"] = adam["jax"]["auc"] - adam["tf"]["auc"]
+        out["gauc_delta_adam"] = adam["jax"]["gauc"] - adam["tf"]["gauc"]
+    path = os.path.join(_repo_root(), "AUC_PARITY.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out))
+    return out
+
+
+def main():
+    # PARITY_SIDE=tf|jax runs one side and stores a part file (the TPU
+    # side alone takes ~8 min; split runs dodge outer command timeouts);
+    # the merge fires automatically once both parts exist.
+    side = os.environ.get("PARITY_SIDE", "both")
+    data = get_data()
+    train_batches = list(data.batches(BATCH, STEPS, seed=1))
+    eval_batches = list(data.batches(BATCH, EVAL_BATCHES, seed=999))
+
+    runners = {"jax": run_jax, "tf": run_tf}
+    suffix = ("_adam" if os.environ.get("PARITY_SPARSE_OPT") == "adam"
+              else "")
+    for name in (("tf", "jax") if side == "both" else (side,)):
+        t0 = time.time()
+        res = runners[name](train_batches, eval_batches)
+        part = {"result": res, "seconds": round(time.time() - t0, 1)}
+        with open(os.path.join(_repo_root(),
+                               f"AUC_PARITY_{name}{suffix}.json"),
+                  "w") as f:
+            json.dump(part, f, indent=2)
+        print(name, json.dumps(part))
+    _merge_and_write()
 
 
 if __name__ == "__main__":
