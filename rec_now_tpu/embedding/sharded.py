@@ -390,15 +390,23 @@ class ShardedEmbeddingTable:
 
     # -- lookup ------------------------------------------------------------
     def lookup(self, state: ShardedTableState,
-               ids: jnp.ndarray) -> jnp.ndarray:
+               ids: jnp.ndarray,
+               return_dropped: bool = False) -> jnp.ndarray:
         """Collective lookup: batch-sharded ids -> batch-sharded rows.
 
         Args:
             state: sharded table state.
             ids: int32 global row ids, shape (B, ...) sharded on axis 0.
+            return_dropped: also return the global count of ids the
+                routed exchange dropped to double overflow (per-owner
+                skew beyond ``cap`` AND spill beyond ``ov_cap`` —
+                exchange.py module docstring).  Always 0 on the
+                allgather path.  The same ids drive the update, so this
+                one counter observes both directions.
 
         Returns:
-            ids.shape + (D,) embeddings, batch-sharded like ``ids``.
+            ids.shape + (D,) embeddings, batch-sharded like ``ids``
+            (and a () int32 dropped-id count if ``return_dropped``).
         """
         n = self.num_shards
         axis = self.axis_name
@@ -424,7 +432,7 @@ class ShardedEmbeddingTable:
         @functools.partial(
             shard_map, mesh=self.mesh,
             in_specs=(P(axis, None), P(axis)),
-            out_specs=P(axis, None))
+            out_specs=(P(axis, None), P()))
         def _lookup_routed(table_local, flat_ids_local):
             my = jax.lax.axis_index(axis)
             b = flat_ids_local.shape[0]
@@ -448,7 +456,8 @@ class ShardedEmbeddingTable:
             ov_back = jax.lax.psum_scatter(
                 ov_rows, axis, scatter_dimension=0,
                 tiled=True)                                # (ov_cap, D)
-            return exchange.gather_planned(plan, back, ov_back, slot)
+            out = exchange.gather_planned(plan, back, ov_back, slot)
+            return out, jax.lax.psum(plan.dropped, axis)
 
         flat = ids.reshape(-1).astype(jnp.int32)
         # pad to a multiple of the shard count (query sizes are user
@@ -456,12 +465,17 @@ class ShardedEmbeddingTable:
         padded = -flat.shape[0] % n
         if padded:
             flat = jnp.concatenate([flat, jnp.zeros((padded,), flat.dtype)])
-        kernel = (_lookup_routed if self.route_mode == "routed"
-                  else _lookup)
-        out = kernel(state.table, flat)
+        if self.route_mode == "routed":
+            out, dropped = _lookup_routed(state.table, flat)
+        else:
+            out = _lookup(state.table, flat)
+            dropped = jnp.zeros((), jnp.int32)
         if padded:
             out = out[:-padded]
-        return out.reshape(orig_shape + (self.dim,))
+        out = out.reshape(orig_shape + (self.dim,))
+        if return_dropped:
+            return out, dropped
+        return out
 
     # -- shared update plumbing --------------------------------------------
     def _flatten_pad(self, ids, grads, valid_mask):

@@ -11,15 +11,24 @@ Symbols: B batch, F fields, D dim, P = C(F, 2).
 """
 from __future__ import annotations
 
-from typing import List, Union
+from typing import List, Optional, Union
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 
 class InnerPNNLayer(nn.Module):
-    """All pairwise inner products of field embeddings -> (B, P)."""
+    """All pairwise inner products of field embeddings -> (B, P).
+
+    Attributes:
+        gram_dtype: compute dtype of the Gram contraction's operands.
+            None (default) = bf16 on TPU, input dtype elsewhere; pass
+            ``jnp.float32`` to force exact-f32 numerics on TPU too.
+            Accumulation is always f32.
+    """
+    gram_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, inputs: Union[jnp.ndarray, List[jnp.ndarray]]
@@ -43,9 +52,11 @@ class InnerPNNLayer(nn.Module):
         # doubling MXU rate both land; bf16 mantissa noise on O(0.1)
         # embedding products is far below the loss's statistical floor
         # (AUC parity re-verified end-to-end in tools/measure_auc_parity).
-        import jax
-        a = (emb.astype(jnp.bfloat16)
-             if jax.default_backend() == "tpu" else emb)
+        if self.gram_dtype is not None:
+            a = emb.astype(self.gram_dtype)
+        else:
+            a = (emb.astype(jnp.bfloat16)
+                 if jax.default_backend() == "tpu" else emb)
         gram = jnp.einsum("bfd,bgd->bfg", a, a,
                           preferred_element_type=jnp.float32
                           ).astype(emb.dtype)             # (B, F, F)

@@ -445,9 +445,22 @@ def _stack_prep(x0, weights):
 
 
 def _const_spec(a):
-    shape = a.shape
-    return pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+    return _const_spec_shape(a.shape)
+
+
+def _const_spec_shape(shape):
+    return pl.BlockSpec(tuple(shape), lambda i: tuple(0 for _ in shape),
                         memory_space=pltpu.VMEM)
+
+
+def _stack_weight_bytes(f, ks, hs):
+    """f32 bytes of the weights the stack kernels actually load.
+
+    Non-last layers load the full (K, F, H) weight; the last layer only
+    loads the channel-collapsed (H_{n-1}, F) ``wc``.
+    """
+    return (sum(k * f * h for k, h in zip(ks[:-1], hs[:-1]))
+            + hs[-1] * f) * 4
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -490,8 +503,8 @@ def _cin_stack_fwd_impl(x0, weights, output_input):
             flops=(2 * mp * sum(f * k * (h + f + k)
                                 for k, h in zip(ks[:-1], hs[:-1]))
                    + 2 * mp * hs[-1] * f),
-            bytes_accessed=(mp * f + mp
-                            + sum(k * f * h for k, h in zip(ks, hs))) * 4,
+            bytes_accessed=((mp * f + mp) * 4
+                            + _stack_weight_bytes(f, ks, hs)),
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
     )(x0p, *wrs, wc, *rs, *sels)
@@ -529,7 +542,7 @@ def _cin_stack_bwd(output_input, residuals, g):
         out_specs=([pl.BlockSpec((tile_m, f), lambda i: (i, 0),
                                  memory_space=pltpu.VMEM)]
                    + [_const_spec(a) for a in wrs]
-                   + [_const_spec(jnp.zeros((f, hs[-1])))]),
+                   + [_const_spec_shape((f, hs[-1]))]),
         out_shape=([jax.ShapeDtypeStruct((mp, f), x0.dtype)]
                    + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                       for w in wrs]
@@ -538,9 +551,8 @@ def _cin_stack_bwd(output_input, residuals, g):
             flops=(6 * mp * sum(f * k * (h + f + k)
                                 for k, h in zip(ks[:-1], hs[:-1]))
                    + 6 * mp * hs[-1] * f),
-            bytes_accessed=(mp * (2 * f + 1)
-                            + 2 * sum(k * f * h
-                                      for k, h in zip(ks, hs))) * 4,
+            bytes_accessed=(mp * (2 * f + 1) * 4
+                            + 2 * _stack_weight_bytes(f, ks, hs)),
             transcendentals=0),
         interpret=jax.default_backend() != "tpu",
     )(x0p, gp, *wrs, wc, *rs, *sels)

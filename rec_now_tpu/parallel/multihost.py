@@ -5,25 +5,31 @@ a TPU pod slice every host runs the same program; JAX's distributed
 runtime discovers the slice topology from the TPU environment and
 ``jax.devices()`` becomes the *global* device list.  Everything in this
 framework already operates on global arrays with shardings, so
-multi-host training is:
+multi-host training is (this recipe is executed verbatim by
+tests/parallel/test_multihost.py::TestDocstringRecipe):
 
     initialize_multihost()                    # once, before any jax op
     mesh = make_mesh()                        # all global devices
     trainer = Trainer(model, fc, cfg, mesh=mesh)
-    ...
+    state = trainer.init(jax.random.PRNGKey(0), batch)
     # per-host input: each host feeds its local slice of the batch
     state, metrics = trainer.train_step(state, *trainer.put_local(batch))
 
 The only multi-host-specific concern is data feeding: ``jax.device_put``
 of a host-local shard must be assembled into the global array with
 ``jax.make_array_from_process_local_data``; :func:`put_local_batch`
-wraps that.  Checkpointing via training/checkpoint.py is already
-multi-host-safe (Orbax coordinates across processes).
+wraps that, ``Trainer.put_local`` applies it to every batch field, and
+``python -m rec_now_tpu.train --multihost`` is the CLI entry (each
+process reads/synthesizes its local rows and feeds ``put_local``).
+Checkpointing via training/checkpoint.py is already multi-host-safe
+(Orbax coordinates across processes).
 
-This module cannot be exercised in the single-host dev container; its
-collective layout is validated by the same shard_map kernels the
-virtual 8-device tests cover (process count is transparent to XLA
-collectives).
+Real multi-process execution cannot be exercised in the single-host dev
+container; the collective layout is validated by the same shard_map
+kernels the virtual 8-device tests cover (process count is transparent
+to XLA collectives), ``put_local`` is bit-identical to ``put`` at
+process_count==1 (tested), and the multi-process assembly shape is
+tested with a mocked process topology.
 """
 from __future__ import annotations
 

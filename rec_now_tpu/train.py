@@ -79,7 +79,17 @@ def main(argv=None):
     p.add_argument("--num-groups", type=int, default=50_000,
                    help="group-id hash space for --data-file (in-batch "
                         "pairwise/listwise grouping key)")
+    p.add_argument("--multihost", action="store_true",
+                   help="pod-slice mode: initialize jax.distributed "
+                        "before any backend touch and feed each "
+                        "process's local slice of the (global) "
+                        "--batch-size via Trainer.put_local")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        # MUST precede any backend-touching jax call (multihost.py)
+        from rec_now_tpu.parallel.multihost import initialize_multihost
+        initialize_multihost()
 
     import jax
     from rec_now_tpu.models import FeatureConfig
@@ -88,6 +98,16 @@ def main(argv=None):
                                       TrainerConfig)
 
     model, num_tasks = build_model(args.model)
+    local_batch = args.batch_size
+    if args.multihost:
+        if args.scan_window > 1:
+            raise SystemExit("--multihost does not support --scan-window "
+                             "(host batches are assembled per step)")
+        nproc = jax.process_count()
+        if args.batch_size % nproc:
+            raise SystemExit(f"--batch-size {args.batch_size} must divide "
+                             f"by the process count {nproc}")
+        local_batch = args.batch_size // nproc
     fc = FeatureConfig(rows_per_field=args.rows_per_field,
                        embedding_dim=args.embedding_dim)
     cfg = TrainerConfig(
@@ -102,6 +122,10 @@ def main(argv=None):
         num_tasks=num_tasks)
     mesh = make_mesh()
     trainer = Trainer(model, fc, cfg, mesh=mesh)
+    put_fn = trainer.put_local if args.multihost else trainer.put
+    # each process synthesizes (or reads) distinct local rows; the seed
+    # shift keeps the per-host synthetic streams disjoint
+    proc_seed = (jax.process_index() * 7919) if args.multihost else 0
     eval_on_train = False
     if args.data_file:
         from rec_now_tpu.io import CriteoTSV
@@ -110,7 +134,7 @@ def main(argv=None):
                        num_groups=args.num_groups)
 
         def make_batches(n, seed):
-            return ds.batches(args.batch_size, n)
+            return ds.batches(local_batch, n)
 
         if args.eval_file:
             eval_ds = CriteoTSV(args.eval_file,
@@ -118,12 +142,12 @@ def main(argv=None):
                                 num_groups=args.num_groups)
 
             def make_eval_batches(n, seed):
-                return eval_ds.batches(args.batch_size, n)
+                return eval_ds.batches(local_batch, n)
         else:
             # hold out rows past the training range so eval is
             # out-of-sample; fall back (with an explicit marker) when
             # the file is too short to hold any out
-            held_out = list(ds.batches(args.batch_size,
+            held_out = list(ds.batches(local_batch,
                                        args.eval_batches,
                                        skip=args.steps))
             if not held_out:
@@ -132,7 +156,7 @@ def main(argv=None):
                                "range; eval scores TRAINING data "
                                "(eval_on_train=true)"}), flush=True)
                 eval_on_train = True
-                held_out = list(ds.batches(args.batch_size,
+                held_out = list(ds.batches(local_batch,
                                            args.eval_batches))
 
             def make_eval_batches(n, seed):
@@ -142,10 +166,10 @@ def main(argv=None):
                                seed=args.seed)
 
         def make_batches(n, seed):
-            return data.batches(args.batch_size, n, seed=seed)
+            return data.batches(local_batch, n, seed=seed + proc_seed)
 
         def make_eval_batches(n, seed):
-            return data.batches(args.batch_size, n, seed=seed)
+            return data.batches(local_batch, n, seed=seed + proc_seed)
 
     ckpt = None
     if args.checkpoint_dir:
@@ -196,7 +220,7 @@ def main(argv=None):
             step += len(buf)
         batches = []
     from rec_now_tpu.training.prefetch import DevicePrefetcher
-    with DevicePrefetcher(batches, trainer.put) as prefetched:
+    with DevicePrefetcher(batches, put_fn) as prefetched:
         for i, dev_batch in enumerate(prefetched):
             state, metrics = trainer.train_step(state, *dev_batch)
             step = i + 1
@@ -206,6 +230,7 @@ def main(argv=None):
                 line = {k: round(float(v), 5) for k, v in metrics.items()}
                 line.update(step=step, examples_per_sec=round(eps, 1))
                 print(json.dumps(line), flush=True)
+                trainer.check_dropped(metrics)
             if args.eval_every and step % args.eval_every == 0:
                 run_eval(step)
             if ckpt and args.checkpoint_every \

@@ -57,6 +57,11 @@ class TrainerConfig:
     sparse_optimizer: str = "adagrad"   # "adagrad" | "adam" (lazy, rowwise)
     sparse_update_mode: str = "auto"    # "auto" | "sparse" | "dense"
     sparse_route_mode: str = "auto"     # "auto" | "allgather" | "routed"
+    # raise on the host when the routed exchange drops ids to double
+    # overflow (metrics["sparse_dropped"] > 0) — off by default: drops
+    # need adversarially skewed ids (exchange.py:20-24) and training
+    # degrades gracefully (dropped ids lose one gradient update)
+    route_strict: bool = False
     num_tasks: int = 1          # >1: multi-task (CTR + CVR) heads
     # CAN co-action (benchmark config #5): when set, a second sharded
     # table holds per-item co-action DNN parameters, looked up by this
@@ -136,11 +141,69 @@ class Trainer:
                 shard(batch.labels, 1), shard(batch.group_ids, 1),
                 shard(batch.cvr_labels, 1), shard(batch.domain_idx, 1))
 
+    def put_local(self, batch: Batch) -> Tuple:
+        """Assemble a HOST-LOCAL batch slice into global sharded arrays.
+
+        The multi-host twin of :meth:`put`: on a pod slice every process
+        feeds only its own rows (local batch = global batch /
+        ``jax.process_count()``), and
+        ``jax.make_array_from_process_local_data`` stitches the
+        per-process shards into one global batch-sharded array.  With a
+        single process this is bit-identical to :meth:`put`.
+
+        Args:
+            batch: this host's local slice of the global batch.
+
+        Returns:
+            The same tuple layout :meth:`put` produces, ready for
+            :meth:`train_step`.
+        """
+        from rec_now_tpu.parallel.multihost import put_local_batch
+        return tuple(
+            put_local_batch(self.mesh, np.asarray(getattr(batch, f)))
+            for f in ("dense", "sparse_ids", "labels", "group_ids",
+                      "cvr_labels", "domain_idx"))
+
+    def check_dropped(self, metrics) -> None:
+        """Raise when strict routing is on and the exchange dropped ids.
+
+        Call at a host-sync point (log/eval cadence) — reading the
+        metric forces a device sync, so per-step calls would serialize
+        the pipeline.
+        """
+        if not self.cfg.route_strict:
+            return
+        dropped = metrics.get("sparse_dropped")
+        if dropped is None:
+            return
+        d = int(jax.device_get(jnp.max(jnp.asarray(dropped))))
+        if d > 0:
+            raise RuntimeError(
+                f"routed exchange dropped {d} ids to double overflow "
+                "(route_strict=True); raise route_cap_factor/"
+                "route_ov_cap or switch sparse_route_mode='allgather'")
+
+    def _put_auto(self, batch: Batch) -> Tuple:
+        """:meth:`put`, or :meth:`put_local` on a multi-process slice.
+
+        Methods that place batches internally (init, evaluate) route
+        through this so they accept host-LOCAL batches transparently on
+        a pod slice (where ``put`` cannot build the global array).
+        """
+        if jax.process_count() > 1:
+            return self.put_local(batch)
+        return self.put(batch)
+
     # -- init --------------------------------------------------------------
     def init(self, key: jax.Array, batch: Batch) -> TrainState:
-        """Initialize params, optimizer and the sharded table."""
+        """Initialize params, optimizer and the sharded table.
+
+        Args:
+            key: PRNG key (identical on every process of a pod slice).
+            batch: an example batch — host-local slice on multi-process.
+        """
         k_model, k_table, k_can = jax.random.split(key, 3)
-        dense, ids, labels, groups, cvr, domain = self.put(batch)
+        dense, ids, labels, groups, cvr, domain = self._put_auto(batch)
         emb_shape = ids.shape + (self.fc.embedding_dim,)
         dummy_emb = jnp.zeros(emb_shape, jnp.float32)
         if self.can_table is not None:
@@ -269,10 +332,13 @@ class Trainer:
         fc, table, tx, cfg = self.fc, self.table, self.tx, self.cfg
         can_table = self.can_table
         gids = fc.global_ids(ids)
-        emb = table.lookup(state.table, gids)              # (B, F, D)
+        emb, dropped = table.lookup(state.table, gids,
+                                    return_dropped=True)   # (B, F, D)
         if can_table is not None:
             can_ids = ids[:, cfg.can_param_field] % fc.rows_per_field
-            can_emb = can_table.lookup(state.can_table, can_ids)
+            can_emb, can_dropped = can_table.lookup(
+                state.can_table, can_ids, return_dropped=True)
+            dropped = dropped + can_dropped
             (loss, (metrics, _)), (gp, gemb, gcan) = \
                 jax.value_and_grad(
                     self._loss_fn, argnums=(0, 1, 2), has_aux=True)(
@@ -291,6 +357,10 @@ class Trainer:
         params = optax.apply_updates(state.params, updates)
         new_table = table.apply_grads(state.table, gids, gemb,
                                       lr=cfg.sparse_lr)
+        # ids lost to routed-exchange double overflow (same ids drive
+        # lookup and update, so one counter observes both); 0 on the
+        # allgather path and on uniformly-hashed id spaces
+        metrics["sparse_dropped"] = dropped
         return TrainState(params=params, opt_state=opt_state,
                           table=new_table,
                           step=state.step + 1,
@@ -454,10 +524,12 @@ class Trainer:
             state, metrics = self.train_step(state, *self.put(batch))
             if log_every and (i + 1) % log_every == 0:
                 last = {k: float(v) for k, v in metrics.items()}
+                self.check_dropped(last)
                 if log_fn:
                     log_fn(i + 1, last)
         if not last:
             last = {k: float(v) for k, v in metrics.items()}
+            self.check_dropped(last)
         return state, last
 
     def evaluate(self, state: TrainState, batches) -> Dict[str, float]:
@@ -468,17 +540,28 @@ class Trainer:
         """
         acc = StreamingGAUC()
         cvr_acc = StreamingGAUC() if self.cfg.num_tasks > 1 else None
+        multi = jax.process_count() > 1
         for batch in batches:
-            dense, ids, labels, groups, cvr, domain = self.put(batch)
+            dense, ids, labels, groups, cvr, domain = self._put_auto(batch)
             logits = self.eval_step(state, dense, ids, domain)
+            b_groups, b_labels, b_cvr = (batch.group_ids, batch.labels,
+                                         batch.cvr_labels)
+            if multi:
+                # the metric needs globally-consistent (group, label,
+                # logit) triples on every host; gather the host-local
+                # label slices alongside the sharded logits
+                from jax.experimental import multihost_utils
+                b_groups, b_labels, b_cvr, logits = \
+                    multihost_utils.process_allgather(
+                        (b_groups, b_labels, b_cvr, logits), tiled=True)
             if logits.ndim == 2:                           # multi-task
                 if cvr_acc is not None:
-                    cvr_acc.update(np.asarray(batch.group_ids),
-                                   np.asarray(batch.cvr_labels),
+                    cvr_acc.update(np.asarray(b_groups),
+                                   np.asarray(b_cvr),
                                    np.asarray(logits[1]))
                 logits = logits[0]
-            acc.update(np.asarray(batch.group_ids),
-                       np.asarray(batch.labels), np.asarray(logits))
+            acc.update(np.asarray(b_groups),
+                       np.asarray(b_labels), np.asarray(logits))
         result = acc.result()
         if cvr_acc is not None:
             cvr_res = cvr_acc.result()

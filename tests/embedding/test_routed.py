@@ -140,3 +140,51 @@ class TestRoutedUpdates:
                                       np.asarray(r.table))
         np.testing.assert_array_equal(np.asarray(a.accumulator),
                                       np.asarray(r.accumulator))
+
+
+class TestDroppedCounter:
+    """Routed double-overflow drops are OBSERVABLE (exchange.py:20-24).
+
+    Adversarial skew = every id owned by one shard: per-owner buckets
+    overflow cap AND the spill overflows ov_cap, so ids drop — and the
+    counter must say so.  Uniformly-hashed ids (the bench path) must
+    report zero.
+    """
+
+    def _skewed_ids(self, n=8, per_shard=64):
+        # all ids multiples of n -> all owned by shard 0; unique within
+        # each shard so dedup cannot save the buckets
+        base = np.arange(8 * per_shard, dtype=np.int32) * n
+        return jnp.asarray(base)
+
+    def test_skewed_ids_report_drops(self, mesh):
+        tr = ShardedEmbeddingTable(
+            vocab_size=8192, dim=8, mesh=mesh, route_mode="routed",
+            route_cap_factor=0.25, route_ov_cap=8)
+        state = tr.init(KEY)
+        ids = self._skewed_ids()
+        out, dropped = tr.lookup(state, ids, return_dropped=True)
+        assert int(dropped) > 0
+        # non-dropped ids still read their true rows; dropped read zero
+        expect = np.asarray(tr.debug_read(state.table, ids))
+        got = np.asarray(out)
+        is_zero = (got == 0).all(axis=1)
+        np.testing.assert_array_equal(got[~is_zero], expect[~is_zero])
+        assert int(is_zero.sum()) == int(dropped), \
+            "zero rows must equal the dropped count (init is nonzero)"
+
+    def test_allgather_immune_to_skew(self, mesh):
+        ta = ShardedEmbeddingTable(vocab_size=8192, dim=8, mesh=mesh,
+                                   route_mode="allgather")
+        state = ta.init(KEY)
+        ids = self._skewed_ids()
+        out, dropped = ta.lookup(state, ids, return_dropped=True)
+        assert int(dropped) == 0
+        np.testing.assert_array_equal(
+            np.asarray(out), np.asarray(ta.debug_read(state.table, ids)))
+
+    def test_uniform_ids_zero_drops(self, mesh):
+        _, tr = _pair(mesh)
+        state = tr.init(KEY)
+        out, dropped = tr.lookup(state, _ids(), return_dropped=True)
+        assert int(dropped) == 0

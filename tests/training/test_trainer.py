@@ -99,3 +99,51 @@ class TestStepMechanics:
         # rows sharded over the mesh axis
         spec = state.table.table.sharding.spec
         assert len(spec) >= 1 and spec[0] == "data", spec
+
+
+class TestRoutedDropSurfacing:
+    """metrics['sparse_dropped'] + TrainerConfig.route_strict."""
+
+    def _trainer(self, mesh, strict, cap_factor=0.25):
+        fc = FeatureConfig(num_dense=13, num_sparse=26,
+                           rows_per_field=64, embedding_dim=8)
+        trainer = Trainer(
+            DCNv2Model(deep_dims=(16,), dcn_sub_dim=4), fc,
+            TrainerConfig(pointwise_weight=1.0,
+                          sparse_route_mode="routed",
+                          route_strict=strict), mesh=mesh)
+        # shrink the routing buffers so a skewed batch actually drops
+        trainer.table.route_cap_factor = cap_factor
+        trainer.table.route_ov_cap = 8
+        return trainer
+
+    def _skewed_batch(self, data, batch=64):
+        b = data.sample(batch, np.random.RandomState(0))
+        # raw ids all multiples of 8 with rows_per_field=64 -> every
+        # global id = raw + f*64 is ~owned by one shard per field;
+        # force ALL fields to shard 0 by zeroing the raw ids' low bits
+        ids = (b.sparse_ids % 64) & ~np.int32(7)
+        return b._replace(sparse_ids=ids.astype(np.int32))
+
+    def test_metric_present_and_zero_on_uniform_ids(self, mesh, data):
+        trainer = self._trainer(mesh, strict=False, cap_factor=2.0)
+        batch = data.sample(256, np.random.RandomState(1))
+        state = trainer.init(jax.random.PRNGKey(0), batch)
+        state, metrics = trainer.train_step(state, *trainer.put(batch))
+        assert "sparse_dropped" in metrics
+        assert int(metrics["sparse_dropped"]) == 0
+        assert np.isfinite(float(metrics["loss"]))
+
+    def test_skewed_ids_counted_and_strict_raises(self, mesh, data):
+        trainer = self._trainer(mesh, strict=True)
+        batch = self._skewed_batch(data)
+        state = trainer.init(jax.random.PRNGKey(0), batch)
+        with pytest.raises(RuntimeError, match="dropped"):
+            trainer.fit(state, [batch])
+        # non-strict: same step reports the nonzero counter instead
+        trainer2 = self._trainer(mesh, strict=False)
+        state2 = trainer2.init(jax.random.PRNGKey(0), batch)
+        state2, metrics = trainer2.train_step(state2,
+                                              *trainer2.put(batch))
+        assert int(metrics["sparse_dropped"]) > 0
+        assert np.isfinite(float(metrics["loss"]))

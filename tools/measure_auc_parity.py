@@ -132,6 +132,50 @@ def _repo_root():
     return os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _stamp():
+    """Run configuration stamped into every part file at write time.
+
+    The merge refuses to combine parts whose stamps disagree — a stale
+    part from an older run (different PARITY_STEPS/BATCH or older code)
+    must not silently pair with a fresh one in the headline parity
+    evidence.
+    """
+    return {"steps": STEPS, "batch": BATCH, "rows": ROWS, "dim": DIM,
+            "eval_batches": EVAL_BATCHES,
+            "sparse_opt": os.environ.get("PARITY_SPARSE_OPT", "adagrad"),
+            "git_rev": _git_rev()}
+
+
+def _git_rev():
+    import subprocess
+    try:
+        return subprocess.run(
+            ["git", "-C", _repo_root(), "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _check_stamps(parts, label):
+    """Fail the merge when the two sides ran different configurations."""
+    stamps = {side: p.get("stamp") for side, p in parts.items()}
+    for side, st in stamps.items():
+        if st is None:
+            raise SystemExit(
+                f"AUC parity part '{side}' ({label}) has no stamp — "
+                "regenerate it with the current tool before merging")
+    a, b = stamps["tf"], stamps["jax"]
+    diff = {k for k in set(a) | set(b)
+            if k != "git_rev" and a.get(k) != b.get(k)}
+    if diff:
+        raise SystemExit(
+            f"AUC parity parts ({label}) were produced by different "
+            f"configurations (mismatched: {sorted(diff)}; tf={a} "
+            f"jax={b}) — regenerate both sides")
+    return a
+
+
 def _merge_and_write():
     """Merge per-side part files into AUC_PARITY.json when both exist."""
     parts = {}
@@ -141,9 +185,10 @@ def _merge_and_write():
             return None
         with open(p) as f:
             parts[side] = json.load(f)
+    stamp = _check_stamps(parts, "default")
     tf_res, jax_res = parts["tf"]["result"], parts["jax"]["result"]
     out = {
-        "steps": STEPS, "batch": BATCH,
+        "steps": stamp["steps"], "batch": stamp["batch"],
         "tf_reference": tf_res, "rec_now_tpu": jax_res,
         "auc_delta": jax_res["auc"] - tf_res["auc"],
         "gauc_delta": jax_res["gauc"] - tf_res["gauc"],
@@ -155,13 +200,15 @@ def _merge_and_write():
                   "controlled variant on both sides)",
     }
     # fold in the all-Adam controlled variant when measured
-    adam = {}
+    adam_parts = {}
     for s in ("tf", "jax"):
         p = os.path.join(_repo_root(), f"AUC_PARITY_{s}_adam.json")
         if os.path.exists(p):
             with open(p) as f:
-                adam[s] = json.load(f)["result"]
-    if len(adam) == 2:
+                adam_parts[s] = json.load(f)
+    if len(adam_parts) == 2:
+        _check_stamps(adam_parts, "adam")
+        adam = {s: p["result"] for s, p in adam_parts.items()}
         out["tf_reference_adam"] = adam["tf"]
         out["rec_now_tpu_adam"] = adam["jax"]
         out["auc_delta_adam"] = adam["jax"]["auc"] - adam["tf"]["auc"]
@@ -188,7 +235,8 @@ def main():
     for name in (("tf", "jax") if side == "both" else (side,)):
         t0 = time.time()
         res = runners[name](train_batches, eval_batches)
-        part = {"result": res, "seconds": round(time.time() - t0, 1)}
+        part = {"result": res, "seconds": round(time.time() - t0, 1),
+                "stamp": _stamp()}
         with open(os.path.join(_repo_root(),
                                f"AUC_PARITY_{name}{suffix}.json"),
                   "w") as f:
