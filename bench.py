@@ -24,7 +24,8 @@ import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 STEPS_WARMUP = 3
-STEPS_MEASURE = int(os.environ.get("BENCH_STEPS", 20))
+STEPS_MEASURE = int(os.environ.get("BENCH_STEPS", 50))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
 
 def main():
@@ -67,13 +68,19 @@ def main():
         state, data.batches(BATCH, window, seed=2), window=window)
     float(metrics_seq["loss"][-1])
 
-    t0 = time.perf_counter()
-    state, metrics_seq = trainer.train_pipelined(state, host_batches,
-                                                 window=window)
-    final_loss = float(metrics_seq["loss"][-1])   # forces completion
-    dt = (time.perf_counter() - t0) / steps_measure
+    # several independent timed runs: the headline is the MEDIAN per-step
+    # time so round-over-round deltas are distinguishable from noise
+    dts = []
+    for _ in range(max(1, REPEATS)):
+        t0 = time.perf_counter()
+        state, metrics_seq = trainer.train_pipelined(state, host_batches,
+                                                     window=window)
+        float(metrics_seq["loss"][-1])   # forces completion
+        dts.append((time.perf_counter() - t0) / steps_measure)
+    dts.sort()
+    dt = dts[len(dts) // 2]
+    spread = dts[-1] - dts[0]
     metrics = {k: v[-1] for k, v in metrics_seq.items()}
-    del final_loss
 
     examples_per_sec = BATCH / dt
     per_chip = examples_per_sec / num_devices
@@ -95,6 +102,8 @@ def main():
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))
     print(f"# devices={num_devices} batch={BATCH} step={dt*1e3:.2f}ms "
+          f"(spread {spread*1e3:.2f}ms over {len(dts)} runs x "
+          f"{steps_measure} steps) "
           f"loss={float(metrics['loss']):.4f} "
           f"pairwise={float(metrics.get('pairwise', float('nan'))):.4f}",
           file=sys.stderr)

@@ -18,8 +18,9 @@ import os
 import time
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8192))
-STEPS = int(os.environ.get("BENCH_STEPS", 15))
+STEPS = int(os.environ.get("BENCH_STEPS", 50))
 WINDOW = int(os.environ.get("BENCH_WINDOW", 5))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
 
 def bench_one(name, model, cfg, rows_per_field=100_000):
@@ -44,15 +45,25 @@ def bench_one(name, model, cfg, rows_per_field=100_000):
     state, mseq = trainer.train_pipelined(
         state, data.batches(BATCH, WINDOW, seed=2), window=WINDOW)
     float(mseq["loss"][-1])
-    t0 = time.perf_counter()
-    state, mseq = trainer.train_pipelined(state, host_batches,
-                                          window=WINDOW)
-    float(mseq["loss"][-1])
-    dt = (time.perf_counter() - t0) / STEPS
+    # median of several timed runs, so step_ms deltas across rounds are
+    # distinguishable from noise; spread = max - min across runs
+    dts = []
+    for _ in range(max(1, REPEATS)):
+        t0 = time.perf_counter()
+        state, mseq = trainer.train_pipelined(state, host_batches,
+                                              window=WINDOW)
+        float(mseq["loss"][-1])
+        dts.append((time.perf_counter() - t0) / STEPS)
+    dts.sort()
+    dt = dts[len(dts) // 2]
     return {
         "config": name,
         "examples_per_sec_per_chip": round(BATCH / dt / num_devices, 1),
         "step_ms": round(dt * 1e3, 3),
+        "step_ms_median": round(dt * 1e3, 3),
+        "step_ms_spread": round((dts[-1] - dts[0]) * 1e3, 3),
+        "runs": len(dts),
+        "steps_per_run": STEPS,
         "loss": round(float(mseq["loss"][-1]), 4),
     }
 

@@ -203,6 +203,14 @@ def listwise_loss(group_ids: jnp.ndarray,
             listwise_loss_pallas)
         return listwise_loss_pallas(group_ids, labels, logits,
                                     pos_neg_th=pos_neg_th)
+    # bounded-memory fallback off the kernel path: never materialize the
+    # (B, B) listwise matrices at production batch sizes
+    from rec_now_tpu.losses.pairwise import BLOCKED_MIN_BATCH
+    if jnp.reshape(group_ids, (-1,)).shape[0] >= BLOCKED_MIN_BATCH:
+        from rec_now_tpu.losses.listwise_blocked import listwise_loss_blocked
+        return listwise_loss_blocked(
+            group_ids, labels, logits, pos_neg_th=pos_neg_th,
+            value_of_masked_logit=value_of_masked_logit)
     lw = to_listwise_sample(group_ids, labels, logits,
                             do_mask_logits=True,
                             value_of_masked_logit=value_of_masked_logit,

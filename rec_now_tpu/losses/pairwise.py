@@ -31,12 +31,18 @@ Symbols: B = batch size.
 """
 from __future__ import annotations
 
+import functools
 from typing import Callable, Optional, Sequence, Union
 
 import jax
 import jax.numpy as jnp
 
 SMALL_POSITIVE_FLOAT = 1.0e-10
+
+# Past this batch size the dense path's (B, B) f32 slabs (several live at
+# once in fwd+bwd) are routed to the O(block * B) scan form instead —
+# at B=8192 each slab is ~268 MB.
+BLOCKED_MIN_BATCH = 4096
 
 GroupLike = Union[jnp.ndarray, Sequence[jnp.ndarray]]
 
@@ -254,12 +260,11 @@ def pairwise_loss(outputs: jnp.ndarray,
     Returns:
         Scalar loss (and the pair count if ``return_num_pair``).
     """
-    # kernel path: the common configuration (single group condition,
-    # default BPR + label ordering) runs as a Pallas kernel on TPU with
-    # O(B) HBM traffic (ops/pallas/pairwise_kernel.py)
+    # kernel path: the default-BPR configuration (one or more AND-combined
+    # group conditions, default label ordering) runs as a Pallas kernel on
+    # TPU with O(B) HBM traffic (ops/pallas/pairwise_kernel.py)
     kernel_ok = (label_pair_to_weight_func is None
                  and pairloss_func is bpr_loss_func
-                 and not isinstance(groups, (list, tuple))
                  and not kwargs)
     if use_pallas is None:
         use_pallas = kernel_ok and jax.default_backend() == "tpu"
@@ -271,6 +276,23 @@ def pairwise_loss(outputs: jnp.ndarray,
             only_use_wrong_order_pair=only_use_wrong_order_pair,
             return_num_pair=return_num_pair,
             click_occurance_power=click_occurance_power, mask=mask)
+
+    # bounded-memory fallback: option combinations the kernel does not
+    # cover (custom label-pair weight fn) still must not materialize
+    # (B, B) slabs at production batch sizes — route to the blocked scan
+    # form, which is numerically identical (tests/losses/test_blocked.py)
+    if (pairloss_func is bpr_loss_func
+            and _as_vec(outputs).shape[0] >= BLOCKED_MIN_BATCH):
+        from rec_now_tpu.losses.pairwise_blocked import pairwise_loss_blocked
+        weight_fn = label_pair_to_weight_func
+        if weight_fn is not None and kwargs:
+            weight_fn = functools.partial(weight_fn, **kwargs)
+        return pairwise_loss_blocked(
+            outputs, labels, groups,
+            only_use_wrong_order_pair=only_use_wrong_order_pair,
+            return_num_pair=return_num_pair,
+            click_occurance_power=click_occurance_power, mask=mask,
+            label_pair_to_weight_func=weight_fn)
 
     pair_mask = generate_pair_mask(groups)
     pair_mask = _apply_sample_mask(pair_mask, mask)

@@ -24,11 +24,13 @@ Kernels:
   ``sum_ij mask * w_i * softplus(-(x_i - x_j) * factor)`` plus the pair
   count.
 
-Supported semantics: single group condition, optional per-sample
-validity mask, optional per-row weights (occurrence power), the default
-``label_i > label_j`` ordering, optional wrong-order filter.  Other
-reference options (multi-group AND, custom label-pair weight functions)
-stay on the XLA path — losses/pairwise.py dispatches.
+Supported semantics: one or MORE group conditions AND-combined
+(reference pairwise_loss_from_batch.py:68-74; the first group is the
+main group for occurrence weighting), optional per-sample validity
+mask, optional per-row weights (occurrence power), the default
+``label_i > label_j`` ordering, optional wrong-order filter.  Custom
+label-pair weight functions stay on the XLA/blocked path —
+losses/pairwise.py dispatches.
 """
 from __future__ import annotations
 
@@ -39,6 +41,13 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _as_group_tuple(groups) -> tuple:
+    """Normalize a group array / list-of-arrays to a flat tuple."""
+    if isinstance(groups, (list, tuple)):
+        return tuple(jnp.reshape(g, (-1,)) for g in groups)
+    return (jnp.reshape(groups, (-1,)),)
 
 
 def _interpret() -> bool:
@@ -80,12 +89,19 @@ def _cols2d(x):
 # pair mask helper (traced inside kernels)
 # --------------------------------------------------------------------------
 
-def _tile_mask(g_rows, g_cols, lab_rows, lab_cols, m_rows, m_cols,
-               x_rows, x_cols, i0, wrong_order, use_mask):
-    """(R, B) float validity of pairs for one row block."""
-    r = g_rows.shape[0]
-    b = g_cols.shape[0]
-    same = g_rows[:, None] == g_cols[None, :]
+def _tile_mask(g_rows_list, g_cols_list, lab_rows, lab_cols, m_rows,
+               m_cols, x_rows, x_cols, i0, wrong_order, use_mask):
+    """(R, B) float validity of pairs for one row block.
+
+    Multiple group conditions AND-combine, mirroring the reference
+    (pairwise_loss_from_batch.py:68-74).
+    """
+    r = g_rows_list[0].shape[0]
+    b = g_cols_list[0].shape[0]
+    same = None
+    for g_rows, g_cols in zip(g_rows_list, g_cols_list):
+        one = g_rows[:, None] == g_cols[None, :]
+        same = one if same is None else jnp.logical_and(same, one)
     col = jax.lax.broadcasted_iota(jnp.int32, (r, b), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (r, b), 0) + i0
     mask = jnp.logical_and(same, col != row)
@@ -105,31 +121,43 @@ def _tile_mask(g_rows, g_cols, lab_rows, lab_cols, m_rows, m_cols,
 
 def pair_row_counts(logits, labels, groups, sample_mask=None,
                     wrong_order: bool = False):
-    """(B,) number of valid pairs anchored at each row."""
+    """(B,) number of valid pairs anchored at each row.
+
+    ``groups`` may be one (B,) array or a list — conditions AND.
+    """
     b = logits.shape[0]
     tile = _row_tile(b)
+    glist = _as_group_tuple(groups)
+    ng = len(glist)
     use_mask = sample_mask is not None
     if not use_mask:
         sample_mask = jnp.ones((b,), jnp.float32)
 
-    def kernel(xr, lr_, gr, mr, xf, lf, gf, mf, out_ref):
+    def kernel(*refs):
+        (xr, lr_), grs = refs[:2], refs[2:2 + ng]
+        mr = refs[2 + ng]
+        xf, lf = refs[3 + ng:5 + ng]
+        gfs = refs[5 + ng:5 + 2 * ng]
+        mf = refs[5 + 2 * ng]
+        out_ref = refs[-1]
         i0 = pl.program_id(0) * tile
-        mask = _tile_mask(gr[0, 0], gf[0], lr_[0, 0], lf[0], mr[0, 0], mf[0],
+        mask = _tile_mask([g[0, 0] for g in grs], [g[0] for g in gfs],
+                          lr_[0, 0], lf[0], mr[0, 0], mf[0],
                           xr[0, 0], xf[0], i0, wrong_order, use_mask)
         out_ref[0, 0, :] = jnp.sum(mask, axis=1)
 
-    rows = [_rows2d(logits.astype(jnp.float32), tile),
-            _rows2d(labels.astype(jnp.float32), tile),
-            _rows2d(groups.astype(jnp.int32), tile),
-            _rows2d(sample_mask.astype(jnp.float32), tile)]
-    cols = [_cols2d(logits.astype(jnp.float32)),
-            _cols2d(labels.astype(jnp.float32)),
-            _cols2d(groups.astype(jnp.int32)),
-            _cols2d(sample_mask.astype(jnp.float32))]
+    rows = ([_rows2d(logits.astype(jnp.float32), tile),
+             _rows2d(labels.astype(jnp.float32), tile)]
+            + [_rows2d(g.astype(jnp.int32), tile) for g in glist]
+            + [_rows2d(sample_mask.astype(jnp.float32), tile)])
+    cols = ([_cols2d(logits.astype(jnp.float32)),
+             _cols2d(labels.astype(jnp.float32))]
+            + [_cols2d(g.astype(jnp.int32)) for g in glist]
+            + [_cols2d(sample_mask.astype(jnp.float32))])
     out = pl.pallas_call(
         kernel,
         grid=(b // tile,),
-        in_specs=[_blocked(tile)] * 4 + [_full(b)] * 4,
+        in_specs=[_blocked(tile)] * (3 + ng) + [_full(b)] * (3 + ng),
         out_specs=_blocked(tile),
         out_shape=jax.ShapeDtypeStruct((b // tile, 1, tile), jnp.float32),
         interpret=_interpret(),
@@ -168,7 +196,9 @@ def pair_loss_sum(logits, labels, groups, row_weights, sample_mask,
     """(sum of weighted BPR pair losses, pair count).
 
     Args:
-        logits, labels, groups: (B,) vectors.
+        logits, labels: (B,) vectors.
+        groups: one (B,) vector or a tuple of them — group conditions
+            AND-combine (reference pairwise_loss_from_batch.py:68-74).
         row_weights: (B,) per-row multiplicative weights (e.g. the
             occurrence-power weights), or all-ones.
         sample_mask: (B,) 0/1 validity, or all-ones.
@@ -188,11 +218,22 @@ def _pair_loss_fwd_impl(logits, labels, groups, row_weights, sample_mask,
                         factor, wrong_order):
     b = logits.shape[0]
     tile = _row_tile(b)
+    glist = _as_group_tuple(groups)
+    ng = len(glist)
 
-    def kernel(xr, lr_, gr, wr, mr, xf, lf, gf, mf, loss_ref, cnt_ref):
+    def kernel(*refs):
+        xr, lr_ = refs[:2]
+        grs = refs[2:2 + ng]
+        wr = refs[2 + ng]
+        mr = refs[3 + ng]
+        xf, lf = refs[4 + ng:6 + ng]
+        gfs = refs[6 + ng:6 + 2 * ng]
+        mf = refs[6 + 2 * ng]
+        loss_ref, cnt_ref = refs[-2], refs[-1]
         step = pl.program_id(0)
         i0 = step * tile
-        mask = _tile_mask(gr[0, 0], gf[0], lr_[0, 0], lf[0], mr[0, 0], mf[0],
+        mask = _tile_mask([g[0, 0] for g in grs], [g[0] for g in gfs],
+                          lr_[0, 0], lf[0], mr[0, 0], mf[0],
                           xr[0, 0], xf[0], i0, wrong_order, True)
         diff = (xr[0, 0][:, None] - xf[0][None, :]) * factor
         losses = jax.nn.softplus(-diff)
@@ -206,22 +247,23 @@ def _pair_loss_fwd_impl(logits, labels, groups, row_weights, sample_mask,
         loss_ref[0, 0] += tile_loss
         cnt_ref[0, 0] += tile_cnt
 
+    rows = ([_rows2d(logits.astype(jnp.float32), tile),
+             _rows2d(labels.astype(jnp.float32), tile)]
+            + [_rows2d(g.astype(jnp.int32), tile) for g in glist]
+            + [_rows2d(row_weights.astype(jnp.float32), tile),
+               _rows2d(sample_mask.astype(jnp.float32), tile)])
+    cols = ([_cols2d(logits.astype(jnp.float32)),
+             _cols2d(labels.astype(jnp.float32))]
+            + [_cols2d(g.astype(jnp.int32)) for g in glist]
+            + [_cols2d(sample_mask.astype(jnp.float32))])
     loss, cnt = pl.pallas_call(
         kernel,
         grid=(b // tile,),
-        in_specs=[_blocked(tile)] * 5 + [_full(b)] * 4,
+        in_specs=[_blocked(tile)] * (4 + ng) + [_full(b)] * (3 + ng),
         out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
         out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2,
         interpret=_interpret(),
-    )(_rows2d(logits.astype(jnp.float32), tile),
-      _rows2d(labels.astype(jnp.float32), tile),
-      _rows2d(groups.astype(jnp.int32), tile),
-      _rows2d(row_weights.astype(jnp.float32), tile),
-      _rows2d(sample_mask.astype(jnp.float32), tile),
-      _cols2d(logits.astype(jnp.float32)),
-      _cols2d(labels.astype(jnp.float32)),
-      _cols2d(groups.astype(jnp.int32)),
-      _cols2d(sample_mask.astype(jnp.float32)))
+    )(*rows, *cols)
     return loss[0, 0], cnt[0, 0]
 
 
@@ -237,11 +279,22 @@ def _pair_loss_bwd(factor, wrong_order, residuals, cotangents):
     g_loss, _ = cotangents  # count has no tangent
     b = logits.shape[0]
     tile = _row_tile(b)
+    glist = _as_group_tuple(groups)
+    ng = len(glist)
 
-    def kernel(xr, lr_, gr, wr, mr, xf, lf, gf, mf, drow_ref, dcol_ref):
+    def kernel(*refs):
+        xr, lr_ = refs[:2]
+        grs = refs[2:2 + ng]
+        wr = refs[2 + ng]
+        mr = refs[3 + ng]
+        xf, lf = refs[4 + ng:6 + ng]
+        gfs = refs[6 + ng:6 + 2 * ng]
+        mf = refs[6 + 2 * ng]
+        drow_ref, dcol_ref = refs[-2], refs[-1]
         step = pl.program_id(0)
         i0 = step * tile
-        mask = _tile_mask(gr[0, 0], gf[0], lr_[0, 0], lf[0], mr[0, 0], mf[0],
+        mask = _tile_mask([g[0, 0] for g in grs], [g[0] for g in gfs],
+                          lr_[0, 0], lf[0], mr[0, 0], mf[0],
                           xr[0, 0], xf[0], i0, wrong_order, True)
         diff = (xr[0, 0][:, None] - xf[0][None, :]) * factor
         # d softplus(-diff) / d diff = -sigmoid(-diff)
@@ -254,23 +307,24 @@ def _pair_loss_bwd(factor, wrong_order, residuals, cotangents):
             dcol_ref[...] = jnp.zeros_like(dcol_ref)
         dcol_ref[...] += -jnp.sum(s, axis=0)[None, :]
 
+    rows = ([_rows2d(logits.astype(jnp.float32), tile),
+             _rows2d(labels.astype(jnp.float32), tile)]
+            + [_rows2d(g.astype(jnp.int32), tile) for g in glist]
+            + [_rows2d(row_weights.astype(jnp.float32), tile),
+               _rows2d(sample_mask.astype(jnp.float32), tile)])
+    cols = ([_cols2d(logits.astype(jnp.float32)),
+             _cols2d(labels.astype(jnp.float32))]
+            + [_cols2d(g.astype(jnp.int32)) for g in glist]
+            + [_cols2d(sample_mask.astype(jnp.float32))])
     drow, dcol = pl.pallas_call(
         kernel,
         grid=(b // tile,),
-        in_specs=[_blocked(tile)] * 5 + [_full(b)] * 4,
+        in_specs=[_blocked(tile)] * (4 + ng) + [_full(b)] * (3 + ng),
         out_specs=[_blocked(tile), _full(b)],
         out_shape=[jax.ShapeDtypeStruct((b // tile, 1, tile), jnp.float32),
                    jax.ShapeDtypeStruct((1, b), jnp.float32)],
         interpret=_interpret(),
-    )(_rows2d(logits.astype(jnp.float32), tile),
-      _rows2d(labels.astype(jnp.float32), tile),
-      _rows2d(groups.astype(jnp.int32), tile),
-      _rows2d(row_weights.astype(jnp.float32), tile),
-      _rows2d(sample_mask.astype(jnp.float32), tile),
-      _cols2d(logits.astype(jnp.float32)),
-      _cols2d(labels.astype(jnp.float32)),
-      _cols2d(groups.astype(jnp.int32)),
-      _cols2d(sample_mask.astype(jnp.float32)))
+    )(*rows, *cols)
     dx = (drow.reshape(b) + dcol.reshape(b)) * g_loss
     return (dx.astype(logits.dtype), None, None, None, None)
 
@@ -291,12 +345,13 @@ def pairwise_loss_pallas(outputs, labels, groups,
                          reduce_mean: bool = True):
     """Reference-semantics pairwise BPR loss, fully kernel-backed.
 
-    Covers the common option subset (single group, default label
-    ordering); losses/pairwise.py routes here automatically on TPU.
+    Covers the default-BPR option subset (one or more AND-combined group
+    conditions, default label ordering, optional mask / occurrence power
+    / wrong-order); losses/pairwise.py routes here automatically on TPU.
     """
     outputs = jnp.reshape(outputs, (-1,))
     labels = jnp.reshape(labels, (-1,))
-    groups = jnp.reshape(groups, (-1,))
+    glist = list(_as_group_tuple(groups))
     b0 = outputs.shape[0]
     m = (jnp.ones((b0,), jnp.float32) if mask is None
          else jnp.reshape(mask, (-1,)).astype(jnp.float32))
@@ -308,19 +363,22 @@ def pairwise_loss_pallas(outputs, labels, groups,
     if pad:
         outputs = jnp.pad(outputs, (0, pad))
         labels = jnp.pad(labels, (0, pad))
-        groups = jnp.pad(groups.astype(jnp.int32), (0, pad),
-                         constant_values=jnp.int32(2 ** 30))
+        glist = [jnp.pad(g.astype(jnp.int32), (0, pad),
+                         constant_values=jnp.int32(2 ** 30)) for g in glist]
         m = jnp.pad(m, (0, pad))
+    groups = tuple(glist)
     b = outputs.shape[0]
     ones = jnp.ones((b,), jnp.float32)
 
     if click_occurance_power != 0.0:
         # the occurrence weights are constants w.r.t. the logits
         # (reference stop_gradient semantics); stop at the kernel inputs
-        # so the counts kernels never enter a grad trace
+        # so the counts kernels never enter a grad trace.  The occurrence
+        # count is keyed on the MAIN (first) group's value (reference
+        # :282-291) while the pair validity uses ALL conditions.
         counts = pair_row_counts(jax.lax.stop_gradient(outputs), labels,
                                  groups, m, only_use_wrong_order_pair)
-        gpc = same_group_matvec(groups, counts)
+        gpc = same_group_matvec(groups[0], counts)
         row_w = jnp.where(gpc > 0,
                           jnp.power(gpc, click_occurance_power), 0.0)
         row_w = jax.lax.stop_gradient(row_w)

@@ -100,3 +100,109 @@ class TestPairwiseKernel:
         a = pairwise_loss(o, l, g)                 # auto -> XLA on CPU
         b = pairwise_loss(o, l, g, use_pallas=True)
         assert float(a) == pytest.approx(float(b), abs=2e-5)
+
+
+class TestMultiGroupKernel:
+    """Multi-group AND on the kernel path (reference :68-74)."""
+
+    def _mk2(self, b, seed=0):
+        o, l, g = _mk(b, seed=seed)
+        g2 = jnp.array(np.random.RandomState(seed + 100)
+                       .randint(0, 3, b), jnp.int32)
+        return o, l, g, g2
+
+    @pytest.mark.parametrize("power", [0.0, -1.0])
+    def test_matches_xla(self, power):
+        o, l, g, g2 = self._mk2(48, seed=11)
+        xla = pairwise_loss(o, l, [g, g2], click_occurance_power=power,
+                            use_pallas=False)
+        ker = pairwise_loss_pallas(o, l, [g, g2],
+                                   click_occurance_power=power)
+        assert float(ker) == pytest.approx(float(xla), abs=2e-5), power
+
+    def test_mask_wrong_order_and_pad(self):
+        o, l, g, g2 = self._mk2(40, seed=12)  # non-pow2 -> padding
+        mask = jnp.array(np.random.RandomState(13).rand(40) > 0.3)
+        xla = pairwise_loss(o, l, [g, g2], mask=mask,
+                            only_use_wrong_order_pair=True,
+                            use_pallas=False)
+        ker = pairwise_loss_pallas(o, l, [g, g2], mask=mask,
+                                   only_use_wrong_order_pair=True)
+        assert float(ker) == pytest.approx(float(xla), abs=2e-5)
+
+    def test_gradients_match(self):
+        o, l, g, g2 = self._mk2(32, seed=14)
+        gx = jax.grad(lambda x: pairwise_loss(
+            x, l, [g, g2], click_occurance_power=-0.5,
+            use_pallas=False))(o)
+        gk = jax.grad(lambda x: pairwise_loss_pallas(
+            x, l, [g, g2], click_occurance_power=-0.5))(o)
+        np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-6)
+
+    def test_row_counts_multi(self):
+        o, l, g, g2 = self._mk2(32, seed=15)
+        counts = pair_row_counts(o, l, [g, g2])
+        same = ((np.asarray(g)[:, None] == np.asarray(g)[None, :])
+                & (np.asarray(g2)[:, None] == np.asarray(g2)[None, :]))
+        off = ~np.eye(32, dtype=bool)
+        order = np.asarray(l)[:, None] > np.asarray(l)[None, :]
+        np.testing.assert_allclose(np.asarray(counts),
+                                   (same & off & order).sum(1))
+
+    def test_auto_dispatch_covers_lists(self):
+        # losses/pairwise.py must treat list groups as kernel-eligible
+        from rec_now_tpu.losses import pairwise as pw
+        o, l, g, g2 = self._mk2(16, seed=16)
+        a = pw.pairwise_loss(o, l, [g, g2])        # auto -> XLA on CPU
+        b = pw.pairwise_loss(o, l, [g, g2], use_pallas=True)
+        assert float(a) == pytest.approx(float(b), abs=2e-5)
+
+
+class TestBlockedAutoDispatch:
+    """Non-kernel option paths at production B route to the blocked form."""
+
+    def test_weight_fn_large_batch_routes_blocked(self, monkeypatch):
+        from rec_now_tpu.losses import pairwise as pw
+        from rec_now_tpu.losses import pairwise_blocked as pb
+        calls = {}
+        orig = pb.pairwise_loss_blocked
+
+        def spy(*a, **k):
+            calls["hit"] = True
+            return orig(*a, **k)
+        monkeypatch.setattr(pb, "pairwise_loss_blocked", spy)
+        monkeypatch.setattr(pw, "BLOCKED_MIN_BATCH", 64)
+
+        o, l, g = _mk(128, seed=20)
+        wfn = lambda lp, ln: jnp.maximum(lp - ln, 0.0)  # noqa: E731
+        got = pw.pairwise_loss(o, l, g, label_pair_to_weight_func=wfn)
+        assert calls.get("hit"), "blocked path not taken"
+        # raise the threshold so the comparison run takes the dense path
+        monkeypatch.setattr(pw, "BLOCKED_MIN_BATCH", 10 ** 9)
+        dense = pw.pairwise_loss(o, l, g, label_pair_to_weight_func=wfn,
+                                 use_pallas=False)
+        assert float(got) == pytest.approx(float(dense), abs=2e-5)
+
+    def test_listwise_large_batch_routes_blocked(self, monkeypatch):
+        from rec_now_tpu.losses import listwise as lw
+        from rec_now_tpu.losses import listwise_blocked as lb
+        calls = {}
+        orig = lb.listwise_loss_blocked
+
+        def spy(*a, **k):
+            calls["hit"] = True
+            return orig(*a, **k)
+        monkeypatch.setattr(lb, "listwise_loss_blocked", spy)
+        import rec_now_tpu.losses.pairwise as pw
+        monkeypatch.setattr(pw, "BLOCKED_MIN_BATCH", 64)
+
+        rng = np.random.RandomState(21)
+        g = jnp.array(rng.randint(0, 10, 128), jnp.int32)
+        l = jnp.array((rng.rand(128) > 0.5), jnp.float32)
+        x = jnp.array(rng.randn(128), jnp.float32)
+        got = lw.listwise_loss(g, l, x, use_pallas=False)
+        assert calls.get("hit"), "blocked path not taken"
+        monkeypatch.setattr(pw, "BLOCKED_MIN_BATCH", 10 ** 9)
+        dense = lw.listwise_loss(g, l, x, use_pallas=False)
+        assert float(got) == pytest.approx(float(dense), abs=2e-5)
