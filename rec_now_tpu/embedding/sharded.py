@@ -76,6 +76,15 @@ from rec_now_tpu.parallel.mesh import DATA_AXIS
 
 _BIG = jnp.int32(2 ** 30)   # sentinel local row: scatters drop OOB
 
+# Compiled collective programs, shared across ShardedEmbeddingTable
+# instances with identical configuration.  The shard_map bodies below
+# are (re)built per call; without this cache every *eager* lookup /
+# update re-traces and re-compiles (~10 s per call on a small CPU host,
+# and once per Python table object on TPU).  Keyed by the full semantic
+# config (mesh included), so equal-config instances share one program;
+# jax.jit layers its own shape-keyed cache on top.
+_JIT_CACHE: dict = {}
+
 
 class ShardedTableState(NamedTuple):
     """Per-shard table state; leading axis is sharded over the mesh.
@@ -158,6 +167,27 @@ class ShardedEmbeddingTable:
         self.route_mode = route_mode
         self.route_cap_factor = route_cap_factor
         self.route_ov_cap = route_ov_cap
+
+    def _config_key(self) -> tuple:
+        """Everything that changes the compiled collective programs."""
+        return (self.mesh, self.axis_name, self.vocab_size, self.dim,
+                self.pack, self.optimizer, self.beta1, self.beta2,
+                self.eps, self.update_mode, self.route_mode,
+                self.route_cap_factor, self.route_ov_cap,
+                str(jnp.dtype(self.dtype)))
+
+    def _jitted(self, name: str, builder, *extra):
+        """Fetch (or build + jit) a cached collective program.
+
+        ``builder()`` returns the shard_map-decorated callable; ``extra``
+        carries static values baked into the closure (lr, dedup).
+        """
+        key = (name, self._config_key()) + extra
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(builder())
+            _JIT_CACHE[key] = fn
+        return fn
 
     # -- shardings ---------------------------------------------------------
     @property
@@ -283,7 +313,13 @@ class ShardedEmbeddingTable:
             m=self.table_sharding if adam else None,
             v=self.table_sharding if adam else None,
             count=repl if adam else None)
-        return jax.jit(_init, out_shardings=out_sh)(key)
+        cache_key = ("init", self._config_key(),
+                     self.initializer_scale, self.initial_accumulator)
+        fn = _JIT_CACHE.get(cache_key)
+        if fn is None:
+            fn = jax.jit(_init, out_shardings=out_sh)
+            _JIT_CACHE[cache_key] = fn
+        return fn(key)
 
     # -- routed-exchange plumbing -------------------------------------------
     def _route_caps(self, b: int) -> Tuple[int, int]:
@@ -412,52 +448,17 @@ class ShardedEmbeddingTable:
         axis = self.axis_name
         orig_shape = ids.shape
 
-        @functools.partial(
-            shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis)),
-            out_specs=P(axis, None))
-        def _lookup(table_local, flat_ids_local):
-            my = jax.lax.axis_index(axis)
-            all_ids = jax.lax.all_gather(flat_ids_local, axis,
-                                         tiled=True)       # (B,)
-            owner = all_ids % n
-            local_rows = jnp.where(owner == my, all_ids // n, 0)
-            rows = self._fetch_rows(table_local, local_rows)   # (B, D)
-            rows = rows * (owner == my).astype(rows.dtype)[:, None]
-            # exactly one owner contributes per id -> psum_scatter back
-            # to the id's home shard.
-            return jax.lax.psum_scatter(rows, axis, scatter_dimension=0,
-                                        tiled=True)        # (b, D)
+        def _build_lookup():
+            return shard_map(
+                self._lookup_ag_body, mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis)),
+                out_specs=P(axis, None))
 
-        @functools.partial(
-            shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis)),
-            out_specs=(P(axis, None), P()))
-        def _lookup_routed(table_local, flat_ids_local):
-            my = jax.lax.axis_index(axis)
-            b = flat_ids_local.shape[0]
-            cap, ov_cap = self._route_caps(b)
-            uid, slot = exchange.sort_dedup(flat_ids_local)
-            plan = exchange.plan_route(uid, n, cap, ov_cap)
-            # req block i = ids shard i wants from me (all owned by me)
-            req = jax.lax.all_to_all(plan.send_ids, axis, 0, 0,
-                                     tiled=True)           # (n*cap,)
-            rows = self._owned_rows_for(table_local, req,
-                                        req < exchange.BIG)
-            # back[k] = row for plan.send_ids[k]
-            back = jax.lax.all_to_all(rows, axis, 0, 0,
-                                      tiled=True)          # (n*cap, D)
-            # overflow lane = the allgather path restricted to the spill
-            all_ov = jax.lax.all_gather(plan.ov_ids, axis,
-                                        tiled=True)        # (n*ov_cap,)
-            ov_rows = self._owned_rows_for(
-                table_local, all_ov,
-                (all_ov < exchange.BIG) & (all_ov % n == my))
-            ov_back = jax.lax.psum_scatter(
-                ov_rows, axis, scatter_dimension=0,
-                tiled=True)                                # (ov_cap, D)
-            out = exchange.gather_planned(plan, back, ov_back, slot)
-            return out, jax.lax.psum(plan.dropped, axis)
+        def _build_lookup_routed():
+            return shard_map(
+                self._lookup_routed_body, mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis)),
+                out_specs=(P(axis, None), P()))
 
         flat = ids.reshape(-1).astype(jnp.int32)
         # pad to a multiple of the shard count (query sizes are user
@@ -466,9 +467,12 @@ class ShardedEmbeddingTable:
         if padded:
             flat = jnp.concatenate([flat, jnp.zeros((padded,), flat.dtype)])
         if self.route_mode == "routed":
-            out, dropped = _lookup_routed(state.table, flat)
+            out, dropped = self._jitted("lookup_routed",
+                                        _build_lookup_routed)(
+                state.table, flat)
         else:
-            out = _lookup(state.table, flat)
+            out = self._jitted("lookup_ag", _build_lookup)(state.table,
+                                                           flat)
             dropped = jnp.zeros((), jnp.int32)
         if padded:
             out = out[:-padded]
@@ -476,6 +480,47 @@ class ShardedEmbeddingTable:
         if return_dropped:
             return out, dropped
         return out
+
+    def _lookup_ag_body(self, table_local, flat_ids_local):
+        n, axis = self.num_shards, self.axis_name
+        my = jax.lax.axis_index(axis)
+        all_ids = jax.lax.all_gather(flat_ids_local, axis,
+                                     tiled=True)       # (B,)
+        owner = all_ids % n
+        local_rows = jnp.where(owner == my, all_ids // n, 0)
+        rows = self._fetch_rows(table_local, local_rows)   # (B, D)
+        rows = rows * (owner == my).astype(rows.dtype)[:, None]
+        # exactly one owner contributes per id -> psum_scatter back
+        # to the id's home shard.
+        return jax.lax.psum_scatter(rows, axis, scatter_dimension=0,
+                                    tiled=True)        # (b, D)
+
+    def _lookup_routed_body(self, table_local, flat_ids_local):
+        n, axis = self.num_shards, self.axis_name
+        my = jax.lax.axis_index(axis)
+        b = flat_ids_local.shape[0]
+        cap, ov_cap = self._route_caps(b)
+        uid, slot = exchange.sort_dedup(flat_ids_local)
+        plan = exchange.plan_route(uid, n, cap, ov_cap)
+        # req block i = ids shard i wants from me (all owned by me)
+        req = jax.lax.all_to_all(plan.send_ids, axis, 0, 0,
+                                 tiled=True)           # (n*cap,)
+        rows = self._owned_rows_for(table_local, req,
+                                    req < exchange.BIG)
+        # back[k] = row for plan.send_ids[k]
+        back = jax.lax.all_to_all(rows, axis, 0, 0,
+                                  tiled=True)          # (n*cap, D)
+        # overflow lane = the allgather path restricted to the spill
+        all_ov = jax.lax.all_gather(plan.ov_ids, axis,
+                                    tiled=True)        # (n*ov_cap,)
+        ov_rows = self._owned_rows_for(
+            table_local, all_ov,
+            (all_ov < exchange.BIG) & (all_ov % n == my))
+        ov_back = jax.lax.psum_scatter(
+            ov_rows, axis, scatter_dimension=0,
+            tiled=True)                                # (ov_cap, D)
+        out = exchange.gather_planned(plan, back, ov_back, slot)
+        return out, jax.lax.psum(plan.dropped, axis)
 
     # -- shared update plumbing --------------------------------------------
     def _flatten_pad(self, ids, grads, valid_mask):
@@ -552,43 +597,47 @@ class ShardedEmbeddingTable:
             return self._apply_grads_adagrad_dense(state, ids, grads, lr,
                                                    valid_mask)
 
-        @functools.partial(
-            shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis),
-                      P(axis, None)),
-            out_specs=(P(axis, None), P(axis, None)))
-        def _update(table_local, acc_local, flat_ids_local,
-                    flat_grads_local):
-            mine, local_rows, g = self._owned_grad_candidates(
-                flat_ids_local, flat_grads_local,
-                routed=None if dedup else False)
-
-            if dedup:
-                rows, row_grad, valid = self._dedup_rows(mine, local_rows,
-                                                         g)
-            else:
-                # per-occurrence semantics: each occurrence contributes
-                # its own squared grad; every occurrence scales by the
-                # post-batch accumulator (deterministic, sort-free)
-                rows = jnp.where(mine, local_rows, _BIG)
-                row_grad = g
-                valid = mine.astype(g.dtype)
-
-            sq = jnp.mean(jnp.square(row_grad), axis=1) * valid
-            pr_a, acc_lines = self._expand_scalar(rows, sq)
-            new_acc = acc_local.at[pr_a].add(acc_lines)
-            acc_rows = self._fetch_scalars(
-                new_acc, jnp.minimum(rows, self.vocab_size // n - 1))
-            scale = (lr / jnp.sqrt(jnp.clip(acc_rows, 1e-12)))[:, None] \
-                * valid[:, None]
-            pr_t, lines = self._expand(rows, -scale * row_grad)
-            new_table = table_local.at[pr_t].add(lines)
-            return new_table, new_acc
+        def _build():
+            return shard_map(
+                functools.partial(self._adagrad_sparse_body, lr, dedup),
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis),
+                          P(axis, None)),
+                out_specs=(P(axis, None), P(axis, None)))
 
         flat_ids, flat_grads = self._flatten_pad(ids, grads, valid_mask)
-        new_table, new_acc = _update(state.table, state.accumulator,
-                                     flat_ids, flat_grads)
+        new_table, new_acc = self._jitted("upd_adagrad", _build, lr,
+                                          dedup)(
+            state.table, state.accumulator, flat_ids, flat_grads)
         return state._replace(table=new_table, accumulator=new_acc)
+
+    def _adagrad_sparse_body(self, lr, dedup, table_local, acc_local,
+                             flat_ids_local, flat_grads_local):
+        n = self.num_shards
+        mine, local_rows, g = self._owned_grad_candidates(
+            flat_ids_local, flat_grads_local,
+            routed=None if dedup else False)
+
+        if dedup:
+            rows, row_grad, valid = self._dedup_rows(mine, local_rows, g)
+        else:
+            # per-occurrence semantics: each occurrence contributes
+            # its own squared grad; every occurrence scales by the
+            # post-batch accumulator (deterministic, sort-free)
+            rows = jnp.where(mine, local_rows, _BIG)
+            row_grad = g
+            valid = mine.astype(g.dtype)
+
+        sq = jnp.mean(jnp.square(row_grad), axis=1) * valid
+        pr_a, acc_lines = self._expand_scalar(rows, sq)
+        new_acc = acc_local.at[pr_a].add(acc_lines)
+        acc_rows = self._fetch_scalars(
+            new_acc, jnp.minimum(rows, self.vocab_size // n - 1))
+        scale = (lr / jnp.sqrt(jnp.clip(acc_rows, 1e-12)))[:, None] \
+            * valid[:, None]
+        pr_t, lines = self._expand(rows, -scale * row_grad)
+        new_table = table_local.at[pr_t].add(lines)
+        return new_table, new_acc
 
     # -- dense-apply updates -------------------------------------------------
     # One scatter-add of the batch's grads into a dense per-shard buffer,
@@ -621,35 +670,39 @@ class ShardedEmbeddingTable:
                                    ) -> ShardedTableState:
         axis = self.axis_name
 
-        @functools.partial(
-            shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis),
-                      P(axis, None)),
-            out_specs=(P(axis, None), P(axis, None)))
-        def _update(table_local, acc_local, flat_ids_local,
-                    flat_grads_local):
-            mine, rows, g = self._owned_grad_candidates(
-                flat_ids_local, flat_grads_local)
-            dense_g = self._scatter_dense_grads(table_local, rows, g)
-            if jax.default_backend() == "tpu" and self.pack > 1:
-                from rec_now_tpu.ops.pallas.table_update_kernel import (
-                    adagrad_dense_pass)
-                return adagrad_dense_pass(table_local, acc_local,
-                                          dense_g, lr=lr,
-                                          pack=self.pack, dim=self.dim)
-            vp_l, width = table_local.shape
-            gl = dense_g.astype(table_local.dtype).reshape(
-                vp_l, self.pack, self.dim)
-            sq = jnp.mean(jnp.square(gl), axis=2)          # (VPl, P)
-            new_acc = acc_local + sq
-            scale = lr / jnp.sqrt(jnp.clip(new_acc, 1e-12))
-            upd = (scale[:, :, None] * gl).reshape(vp_l, width)
-            return table_local - upd, new_acc
+        def _build():
+            return shard_map(
+                functools.partial(self._adagrad_dense_body, lr),
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis),
+                          P(axis, None)),
+                out_specs=(P(axis, None), P(axis, None)))
 
         flat_ids, flat_grads = self._flatten_pad(ids, grads, valid_mask)
-        new_table, new_acc = _update(state.table, state.accumulator,
-                                     flat_ids, flat_grads)
+        new_table, new_acc = self._jitted("upd_adagrad_dense", _build,
+                                          lr)(
+            state.table, state.accumulator, flat_ids, flat_grads)
         return state._replace(table=new_table, accumulator=new_acc)
+
+    def _adagrad_dense_body(self, lr, table_local, acc_local,
+                            flat_ids_local, flat_grads_local):
+        mine, rows, g = self._owned_grad_candidates(
+            flat_ids_local, flat_grads_local)
+        dense_g = self._scatter_dense_grads(table_local, rows, g)
+        if jax.default_backend() == "tpu" and self.pack > 1:
+            from rec_now_tpu.ops.pallas.table_update_kernel import (
+                adagrad_dense_pass)
+            return adagrad_dense_pass(table_local, acc_local,
+                                      dense_g, lr=lr,
+                                      pack=self.pack, dim=self.dim)
+        vp_l, width = table_local.shape
+        gl = dense_g.astype(table_local.dtype).reshape(
+            vp_l, self.pack, self.dim)
+        sq = jnp.mean(jnp.square(gl), axis=2)          # (VPl, P)
+        new_acc = acc_local + sq
+        scale = lr / jnp.sqrt(jnp.clip(new_acc, 1e-12))
+        upd = (scale[:, :, None] * gl).reshape(vp_l, width)
+        return table_local - upd, new_acc
 
     def _apply_grads_adam_dense(self, state: ShardedTableState,
                                 ids: jnp.ndarray, grads: jnp.ndarray,
@@ -662,57 +715,61 @@ class ShardedEmbeddingTable:
         decay only on touched rows, matching the sparse path.
         """
         axis = self.axis_name
-        b1, b2, eps = self.beta1, self.beta2, self.eps
 
-        @functools.partial(
-            shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                      P(axis), P(axis, None), P()),
-            out_specs=(P(axis, None), P(axis, None), P(axis, None)))
-        def _update(table_local, m_local, v_local,
-                    flat_ids_local, flat_grads_local, t):
-            mine, rows, g = self._owned_grad_candidates(
-                flat_ids_local, flat_grads_local)
-            dense_g = self._scatter_dense_grads(table_local, rows, g)
-            pr_s, cnt_lines = self._expand_scalar(
-                rows, mine.astype(table_local.dtype))
-            cnt = jnp.zeros(
-                (table_local.shape[0], self.pack),
-                table_local.dtype).at[pr_s].add(cnt_lines)
-            if jax.default_backend() == "tpu" and self.pack > 1:
-                from rec_now_tpu.ops.pallas.table_update_kernel import (
-                    adam_dense_pass)
-                return adam_dense_pass(table_local, m_local, v_local,
-                                       dense_g, cnt, t, lr=lr, b1=b1,
-                                       b2=b2, eps=eps, pack=self.pack,
-                                       dim=self.dim)
-            touched = (cnt > 0)[:, :, None]                # (VPl, P, 1)
-
-            vp_l, width = table_local.shape
-            gl = dense_g.astype(table_local.dtype).reshape(
-                vp_l, self.pack, self.dim)
-            m3 = m_local.reshape(vp_l, self.pack, self.dim)
-            v3 = v_local.reshape(vp_l, self.pack, self.dim)
-            m_new = jnp.where(touched, b1 * m3 + (1 - b1) * gl, m3)
-            v_new = jnp.where(touched, b2 * v3 + (1 - b2) * jnp.square(gl),
-                              v3)
-            tf_ = t.astype(table_local.dtype)
-            mhat = m_new / (1 - b1 ** tf_)
-            vhat = v_new / (1 - b2 ** tf_)
-            upd = jnp.where(touched, lr * mhat / (jnp.sqrt(vhat) + eps),
-                            0.0)
-            return (table_local - upd.reshape(vp_l, width),
-                    m_new.reshape(vp_l, width),
-                    v_new.reshape(vp_l, width))
+        def _build():
+            return shard_map(
+                functools.partial(self._adam_dense_body, lr),
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                          P(axis), P(axis, None), P()),
+                out_specs=(P(axis, None), P(axis, None), P(axis, None)))
 
         flat_ids, flat_grads = self._flatten_pad(ids, grads, valid_mask)
         new_count = state.count + 1
-        new_table, new_m, new_v = _update(
+        new_table, new_m, new_v = self._jitted("upd_adam_dense", _build,
+                                               lr)(
             state.table, state.m, state.v, flat_ids, flat_grads,
             new_count)
         return ShardedTableState(table=new_table,
                                  accumulator=state.accumulator,
                                  m=new_m, v=new_v, count=new_count)
+
+    def _adam_dense_body(self, lr, table_local, m_local, v_local,
+                         flat_ids_local, flat_grads_local, t):
+        b1, b2, eps = self.beta1, self.beta2, self.eps
+        mine, rows, g = self._owned_grad_candidates(
+            flat_ids_local, flat_grads_local)
+        dense_g = self._scatter_dense_grads(table_local, rows, g)
+        pr_s, cnt_lines = self._expand_scalar(
+            rows, mine.astype(table_local.dtype))
+        cnt = jnp.zeros(
+            (table_local.shape[0], self.pack),
+            table_local.dtype).at[pr_s].add(cnt_lines)
+        if jax.default_backend() == "tpu" and self.pack > 1:
+            from rec_now_tpu.ops.pallas.table_update_kernel import (
+                adam_dense_pass)
+            return adam_dense_pass(table_local, m_local, v_local,
+                                   dense_g, cnt, t, lr=lr, b1=b1,
+                                   b2=b2, eps=eps, pack=self.pack,
+                                   dim=self.dim)
+        touched = (cnt > 0)[:, :, None]                # (VPl, P, 1)
+
+        vp_l, width = table_local.shape
+        gl = dense_g.astype(table_local.dtype).reshape(
+            vp_l, self.pack, self.dim)
+        m3 = m_local.reshape(vp_l, self.pack, self.dim)
+        v3 = v_local.reshape(vp_l, self.pack, self.dim)
+        m_new = jnp.where(touched, b1 * m3 + (1 - b1) * gl, m3)
+        v_new = jnp.where(touched, b2 * v3 + (1 - b2) * jnp.square(gl),
+                          v3)
+        tf_ = t.astype(table_local.dtype)
+        mhat = m_new / (1 - b1 ** tf_)
+        vhat = v_new / (1 - b2 ** tf_)
+        upd = jnp.where(touched, lr * mhat / (jnp.sqrt(vhat) + eps),
+                        0.0)
+        return (table_local - upd.reshape(vp_l, width),
+                m_new.reshape(vp_l, width),
+                v_new.reshape(vp_l, width))
 
     # -- adam update -------------------------------------------------------
     def _apply_grads_adam(self, state: ShardedTableState,
@@ -720,45 +777,48 @@ class ShardedEmbeddingTable:
                           valid_mask: Optional[jnp.ndarray]
                           ) -> ShardedTableState:
         """Lazy row-wise sparse Adam on owned rows (always deduped)."""
-        n = self.num_shards
         axis = self.axis_name
-        b1, b2, eps = self.beta1, self.beta2, self.eps
 
-        @functools.partial(
-            shard_map, mesh=self.mesh,
-            in_specs=(P(axis, None), P(axis, None), P(axis, None),
-                      P(axis), P(axis, None), P()),
-            out_specs=(P(axis, None), P(axis, None), P(axis, None)))
-        def _update(table_local, m_local, v_local,
-                    flat_ids_local, flat_grads_local, t):
-            mine, local_rows, g = self._owned_grad_candidates(
-                flat_ids_local, flat_grads_local)
-
-            rows, row_grad, valid = self._dedup_rows(mine, local_rows, g)
-            safe = jnp.minimum(rows, self.vocab_size // n - 1)
-            m_rows = self._fetch_rows(m_local, safe)
-            v_rows = self._fetch_rows(v_local, safe)
-            m_new = b1 * m_rows + (1 - b1) * row_grad
-            v_new = b2 * v_rows + (1 - b2) * jnp.square(row_grad)
-            tf_ = t.astype(table_local.dtype)
-            mhat = m_new / (1 - b1 ** tf_)
-            vhat = v_new / (1 - b2 ** tf_)
-            update = lr * mhat / (jnp.sqrt(vhat) + eps)
-
-            # set-via-delta: adding (new - old) on the disjoint lane
-            # slice equals a set; sentinel rows drop out of bounds
-            pr_m, dm = self._expand(rows, (m_new - m_rows) * valid[:, None])
-            pr_v, dv = self._expand(rows, (v_new - v_rows) * valid[:, None])
-            pr_t, dt = self._expand(rows, -update * valid[:, None])
-            return (table_local.at[pr_t].add(dt),
-                    m_local.at[pr_m].add(dm),
-                    v_local.at[pr_v].add(dv))
+        def _build():
+            return shard_map(
+                functools.partial(self._adam_sparse_body, lr),
+                mesh=self.mesh,
+                in_specs=(P(axis, None), P(axis, None), P(axis, None),
+                          P(axis), P(axis, None), P()),
+                out_specs=(P(axis, None), P(axis, None), P(axis, None)))
 
         flat_ids, flat_grads = self._flatten_pad(ids, grads, valid_mask)
         new_count = state.count + 1
-        new_table, new_m, new_v = _update(
+        new_table, new_m, new_v = self._jitted("upd_adam", _build, lr)(
             state.table, state.m, state.v, flat_ids, flat_grads,
             new_count)
         return ShardedTableState(table=new_table,
                                  accumulator=state.accumulator,
                                  m=new_m, v=new_v, count=new_count)
+
+    def _adam_sparse_body(self, lr, table_local, m_local, v_local,
+                          flat_ids_local, flat_grads_local, t):
+        n = self.num_shards
+        b1, b2, eps = self.beta1, self.beta2, self.eps
+        mine, local_rows, g = self._owned_grad_candidates(
+            flat_ids_local, flat_grads_local)
+
+        rows, row_grad, valid = self._dedup_rows(mine, local_rows, g)
+        safe = jnp.minimum(rows, self.vocab_size // n - 1)
+        m_rows = self._fetch_rows(m_local, safe)
+        v_rows = self._fetch_rows(v_local, safe)
+        m_new = b1 * m_rows + (1 - b1) * row_grad
+        v_new = b2 * v_rows + (1 - b2) * jnp.square(row_grad)
+        tf_ = t.astype(table_local.dtype)
+        mhat = m_new / (1 - b1 ** tf_)
+        vhat = v_new / (1 - b2 ** tf_)
+        update = lr * mhat / (jnp.sqrt(vhat) + eps)
+
+        # set-via-delta: adding (new - old) on the disjoint lane
+        # slice equals a set; sentinel rows drop out of bounds
+        pr_m, dm = self._expand(rows, (m_new - m_rows) * valid[:, None])
+        pr_v, dv = self._expand(rows, (v_new - v_rows) * valid[:, None])
+        pr_t, dt = self._expand(rows, -update * valid[:, None])
+        return (table_local.at[pr_t].add(dt),
+                m_local.at[pr_m].add(dm),
+                v_local.at[pr_v].add(dv))

@@ -190,34 +190,52 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     if args.scan_window > 1:
-        # production inner loop: whole windows as one on-device scan;
-        # eval fires at window granularity whenever the step counter
-        # crosses an --eval-every boundary
+        # production inner loop (the one bench.py times): each window
+        # runs as ONE on-device lax.scan over the compressed wire format
+        # (training/wire.py) while the next window's packed transfer is
+        # in flight; host parsing/packing of window k+1 overlaps the
+        # device computing window k.  Eval/ckpt fire at window
+        # granularity whenever the step counter crosses a boundary.
         window, buf, step = args.scan_window, [], 0
+
+        def after_window(prev, mseq, n_steps):
+            nonlocal step
+            step = prev + n_steps
+            metrics = {k: v[-1] for k, v in mseq.items()}
+            if args.log_every and (step // args.log_every
+                                   > prev // args.log_every):
+                eps = (args.batch_size * step
+                       / (time.perf_counter() - t0))
+                line = {k: round(float(v), 5) for k, v in metrics.items()}
+                line.update(step=step, examples_per_sec=round(eps, 1))
+                print(json.dumps(line), flush=True)
+                trainer.check_dropped(metrics)
+            if args.eval_every and (step // args.eval_every
+                                    > prev // args.eval_every):
+                run_eval(step)
+            if ckpt and args.checkpoint_every \
+                    and (step // args.checkpoint_every
+                         > prev // args.checkpoint_every):
+                ckpt.save(step, state)
+
+        dev = None
         for batch in batches:
             buf.append(batch)
-            if len(buf) == window:
-                prev = step
-                state, mseq = trainer.train_many(state, buf)
-                step += window
-                buf = []
-                metrics = {k: v[-1] for k, v in mseq.items()}
-                if args.log_every:
-                    eps = (args.batch_size * step
-                           / (time.perf_counter() - t0))
-                    line = {k: round(float(v), 5)
-                            for k, v in metrics.items()}
-                    line.update(step=step, examples_per_sec=round(eps, 1))
-                    print(json.dumps(line), flush=True)
-                if args.eval_every and (step // args.eval_every
-                                        > prev // args.eval_every):
-                    run_eval(step)
-                if ckpt and args.checkpoint_every \
-                        and step % args.checkpoint_every == 0:
-                    ckpt.save(step, state)
-        if buf:
-            state, mseq = trainer.train_many(state, buf)
-            step += len(buf)
+            if len(buf) < window:
+                continue
+            nxt = trainer.put_packed_window(buf)   # async transfer
+            buf = []
+            if dev is not None:
+                state, mseq = trainer.train_many_packed(state, dev)
+                after_window(step, mseq, window)
+            dev = nxt
+        if dev is not None:
+            state, mseq = trainer.train_many_packed(state, dev)
+            after_window(step, mseq, window)
+        if buf:                                    # ragged tail window
+            state, mseq = trainer.train_many_packed(
+                state, trainer.put_packed_window(buf))
+            after_window(step, mseq, len(buf))
         batches = []
     from rec_now_tpu.training.prefetch import DevicePrefetcher
     with DevicePrefetcher(batches, put_fn) as prefetched:
