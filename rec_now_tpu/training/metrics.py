@@ -16,8 +16,9 @@ for the north-star parity measurement (BASELINE.json: "AUC/GAUC parity").
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -39,8 +40,6 @@ def binary_auc(labels: jnp.ndarray, scores: jnp.ndarray,
     if sample_weight is None:
         sample_weight = jnp.ones_like(labels)
     w = jnp.reshape(sample_weight, (-1,)).astype(jnp.float32)
-
-    import jax
 
     order = jnp.argsort(scores)
     sorted_labels = labels[order]
@@ -74,15 +73,14 @@ def binary_auc(labels: jnp.ndarray, scores: jnp.ndarray,
     return jnp.where(denom > 0, u / jnp.where(denom > 0, denom, 1.0), 0.5)
 
 
-def batch_gauc(labels: jnp.ndarray, scores: jnp.ndarray,
-               group_ids: jnp.ndarray) -> jnp.ndarray:
-    """In-batch grouped AUC via fixed-shape (B, B) pair statistics.
+def batch_gauc_stats(labels: jnp.ndarray, scores: jnp.ndarray,
+                     group_ids: jnp.ndarray
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(concordant-win sum, pair total) for in-batch GAUC (jit-safe).
 
-    GAUC = sum_g pairs_g * AUC_g / sum_g pairs_g, computed without any
-    dynamic grouping: concordant(i, j) over same-group (pos_i, neg_j)
-    pairs, ties counted half.
-
-    Returns 0.5 when the batch has no valid (pos, neg) same-group pair.
+    Separated from :func:`batch_gauc` so a scanned eval loop can
+    accumulate the two sufficient statistics across batches and divide
+    once at the end (pair-weighted streaming in-batch GAUC).
     """
     labels = jnp.reshape(labels, (-1,)).astype(jnp.float32)
     scores = jnp.reshape(scores, (-1,))
@@ -95,9 +93,89 @@ def batch_gauc(labels: jnp.ndarray, scores: jnp.ndarray,
     s_j = scores[None, :]
     concordant = (s_i > s_j).astype(jnp.float32) \
         + 0.5 * (s_i == s_j).astype(jnp.float32)
-    total = jnp.sum(pair)
-    win = jnp.sum(pair * concordant)
+    return jnp.sum(pair * concordant), jnp.sum(pair)
+
+
+def batch_gauc(labels: jnp.ndarray, scores: jnp.ndarray,
+               group_ids: jnp.ndarray) -> jnp.ndarray:
+    """In-batch grouped AUC via fixed-shape (B, B) pair statistics.
+
+    GAUC = sum_g pairs_g * AUC_g / sum_g pairs_g, computed without any
+    dynamic grouping: concordant(i, j) over same-group (pos_i, neg_j)
+    pairs, ties counted half.
+
+    Returns 0.5 when the batch has no valid (pos, neg) same-group pair.
+    """
+    win, total = batch_gauc_stats(labels, scores, group_ids)
     return jnp.where(total > 0, win / jnp.where(total > 0, total, 1.0), 0.5)
+
+
+class DeviceStreamingAUC:
+    """Device-side bucketed streaming AUC (bounded host traffic).
+
+    ``Trainer.evaluate`` streams logits to the host and sorts there —
+    exact, but a full held-out epoch stalls on the host link and on
+    single-threaded numpy.  This accumulator instead keeps per-bucket
+    positive/negative weight histograms ON DEVICE: ``update`` is one
+    cached-jitted scatter-add of shape-(K,) segment sums, and
+    ``result`` moves 2·K floats (not 2·N) once at the end.
+
+    Scores are mapped through sigmoid into K uniform probability
+    buckets; pairs landing in the same bucket count half, so the
+    approximation error is O(1/K) — < 1e-3 at the default K=4096
+    (tested against the exact host AUC in tests/training/test_metrics.py).
+
+    The histogram state is a functional value (returned, not mutated)
+    so it can thread through a ``lax.scan`` eval loop.
+    """
+
+    def __init__(self, num_buckets: int = 4096):
+        self.k = int(num_buckets)
+        self.hist = jnp.zeros((2, self.k), jnp.float32)
+
+    @staticmethod
+    def accumulate(hist: jnp.ndarray, labels: jnp.ndarray,
+                   logits: jnp.ndarray,
+                   weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Pure update: add one batch to a (2, K) histogram (jit-safe)."""
+        k = hist.shape[1]
+        labels = jnp.reshape(labels, (-1,)).astype(jnp.float32)
+        logits = jnp.reshape(logits, (-1,))
+        w = (jnp.ones_like(labels) if weights is None
+             else jnp.reshape(weights, (-1,)).astype(jnp.float32))
+        p = jax.nn.sigmoid(logits.astype(jnp.float32))
+        b = jnp.clip((p * k).astype(jnp.int32), 0, k - 1)
+        pos = jax.ops.segment_sum(w * labels, b, num_segments=k)
+        neg = jax.ops.segment_sum(w * (1.0 - labels), b, num_segments=k)
+        return hist + jnp.stack([pos, neg])
+
+    def update(self, labels, logits, weights=None) -> None:
+        """Accumulate one batch (dispatches one tiny jitted kernel)."""
+        self.hist = _jit_accumulate(self.hist, jnp.asarray(labels),
+                                    jnp.asarray(logits),
+                                    None if weights is None
+                                    else jnp.asarray(weights))
+
+    @staticmethod
+    def auc_from_hist(hist: np.ndarray) -> float:
+        """AUC from a (2, K) bucket histogram (host, O(K))."""
+        pos, neg = np.asarray(hist, np.float64)
+        neg_below = np.cumsum(neg) - neg
+        u = float(np.sum(pos * (neg_below + 0.5 * neg)))
+        denom = pos.sum() * neg.sum()
+        return u / denom if denom > 0 else 0.5
+
+    def result(self) -> Dict[str, float]:
+        """{'auc', 'num_pos', 'num_neg'} — one 2·K-float device fetch."""
+        hist = np.asarray(jax.device_get(self.hist), np.float64)
+        return {"auc": self.auc_from_hist(hist),
+                "num_pos": float(hist[0].sum()),
+                "num_neg": float(hist[1].sum())}
+
+
+@jax.jit
+def _jit_accumulate(hist, labels, logits, weights):
+    return DeviceStreamingAUC.accumulate(hist, labels, logits, weights)
 
 
 class StreamingGAUC:

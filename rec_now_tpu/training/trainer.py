@@ -40,7 +40,9 @@ from rec_now_tpu.losses.pointwise import sigmoid_cross_entropy_with_logits
 from rec_now_tpu.models.feature_config import FeatureConfig
 from rec_now_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from rec_now_tpu.training.data import Batch
-from rec_now_tpu.training.metrics import StreamingGAUC
+from rec_now_tpu.training.metrics import (DeviceStreamingAUC,
+                                          StreamingGAUC,
+                                          batch_gauc_stats)
 from rec_now_tpu.training.wire import PackedBatch, WireFormat
 
 
@@ -381,25 +383,22 @@ class Trainer:
             return state, metrics_seq
         return jax.jit(many, donate_argnums=(0,))
 
-    def _build_eval_step(self):
+    def _eval_body(self, state: TrainState, dense, ids, domain):
+        """Pure eval forward (shared by jit and scanned-eval paths)."""
         fc, table = self.fc, self.table
-
         can_table, cfg = self.can_table, self.cfg
+        gids = fc.global_ids(ids)
+        emb = table.lookup(state.table, gids)
+        kw = {"domain_idx": domain} if self._takes_domain else {}
+        if can_table is not None:
+            can_ids = ids[:, cfg.can_param_field] % fc.rows_per_field
+            can_emb = can_table.lookup(state.can_table, can_ids)
+            return self.model.apply(state.params, dense, emb, can_emb,
+                                    **kw)
+        return self.model.apply(state.params, dense, emb, **kw)
 
-        takes_domain = self._takes_domain
-
-        def step(state: TrainState, dense, ids, domain):
-            gids = fc.global_ids(ids)
-            emb = table.lookup(state.table, gids)
-            kw = {"domain_idx": domain} if takes_domain else {}
-            if can_table is not None:
-                can_ids = ids[:, cfg.can_param_field] % fc.rows_per_field
-                can_emb = can_table.lookup(state.can_table, can_ids)
-                return self.model.apply(state.params, dense, emb, can_emb,
-                                        **kw)
-            return self.model.apply(state.params, dense, emb, **kw)
-
-        return jax.jit(step)
+    def _build_eval_step(self):
+        return jax.jit(self._eval_body)
 
     def train_step(self, state: TrainState, dense, ids, labels, groups,
                    cvr, domain
@@ -567,4 +566,77 @@ class Trainer:
             cvr_res = cvr_acc.result()
             result["cvr_auc"] = cvr_res["auc"]
             result["cvr_gauc"] = cvr_res["gauc"]
+        return result
+
+    # -- device-resident eval ----------------------------------------------
+    def _build_eval_many_packed(self, num_buckets: int):
+        wire, multi = self.wire, self.cfg.num_tasks > 1
+
+        def many(state: TrainState, carry, packed: PackedBatch):
+            def body(carry, xs):
+                hist, cvr_hist, win, total = carry
+                dense, ids, labels, groups, cvr, domain = wire.decode(xs)
+                logits = self._eval_body(state, dense, ids, domain)
+                main = logits[0] if multi else logits
+                hist = DeviceStreamingAUC.accumulate(hist, labels, main)
+                w, t = batch_gauc_stats(labels, main, groups)
+                if multi:
+                    cvr_hist = DeviceStreamingAUC.accumulate(
+                        cvr_hist, cvr, logits[1])
+                return (hist, cvr_hist, win + w, total + t), ()
+            carry, _ = jax.lax.scan(body, carry, packed)
+            return carry
+        return jax.jit(many)
+
+    def evaluate_device(self, state: TrainState, batches,
+                        window: int = 8,
+                        num_buckets: int = 4096) -> Dict[str, float]:
+        """Device-resident eval sweep: no per-example host traffic.
+
+        ``evaluate`` is the exact oracle but streams every logit to the
+        host and sorts there — at training throughput a full held-out
+        epoch stalls on the host link and single-threaded numpy.  This
+        path instead scans packed windows on device (same compressed
+        wire as training, transfer of window k+1 overlapping compute of
+        window k) and accumulates sufficient statistics on device:
+
+        * bucketed AUC histograms (error O(1/num_buckets), see
+          :class:`DeviceStreamingAUC`),
+        * pair-weighted in-batch GAUC win/total sums — the same
+          statistic the in-batch pairwise loss optimizes.  Corpus-level
+          cross-batch GAUC needs per-group triples; use ``evaluate``
+          when that exact definition is required.
+
+        The final host fetch is 2·num_buckets floats + 2 scalars.
+
+        Returns {'auc', 'gauc' (in-batch), 'num_pos', 'num_neg'
+        [, 'cvr_auc']}.
+        """
+        if getattr(self, "_eval_many_packed", None) is None \
+                or getattr(self, "_eval_buckets", None) != num_buckets:
+            self._eval_many_packed = self._build_eval_many_packed(
+                num_buckets)
+            self._eval_buckets = num_buckets
+        batches = list(batches)
+        windows = [batches[i:i + window]
+                   for i in range(0, len(batches), window)]
+        if len(windows) > 1 and len(windows[-1]) != window:
+            windows[-2].extend(windows.pop())   # one ragged tail at most
+        hist = jnp.zeros((2, num_buckets), jnp.float32)
+        carry = (hist, hist, jnp.zeros(()), jnp.zeros(()))
+        dev = self.put_packed_window(windows[0])
+        for i in range(len(windows)):
+            nxt = (self.put_packed_window(windows[i + 1])
+                   if i + 1 < len(windows) else None)
+            carry = self._eval_many_packed(state, carry, dev)
+            dev = nxt
+        hist, cvr_hist, win, total = jax.device_get(carry)
+        result = {
+            "auc": DeviceStreamingAUC.auc_from_hist(hist),
+            "gauc": (float(win / total) if float(total) > 0 else 0.5),
+            "num_pos": float(np.asarray(hist)[0].sum()),
+            "num_neg": float(np.asarray(hist)[1].sum()),
+        }
+        if self.cfg.num_tasks > 1:
+            result["cvr_auc"] = DeviceStreamingAUC.auc_from_hist(cvr_hist)
         return result

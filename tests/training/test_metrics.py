@@ -114,3 +114,71 @@ class TestStreamingGAUC:
     def test_weight_by_validation(self):
         with pytest.raises(ValueError):
             StreamingGAUC(weight_by="bogus")
+
+
+class TestDeviceStreamingAUC:
+    def test_matches_exact_within_bucket_error(self):
+        from rec_now_tpu.training.metrics import DeviceStreamingAUC
+        rng = np.random.RandomState(3)
+        acc = DeviceStreamingAUC(num_buckets=4096)
+        all_y, all_s = [], []
+        for _ in range(4):
+            y = (rng.rand(512) > 0.7).astype(np.float32)
+            s = rng.randn(512).astype(np.float32) * 2.0
+            acc.update(y, s)
+            all_y.append(y), all_s.append(s)
+        res = acc.result()
+        y = np.concatenate(all_y)
+        s = np.concatenate(all_s)
+        assert res["auc"] == pytest.approx(naive_auc(y, s), abs=1e-3)
+        assert res["num_pos"] == pytest.approx(y.sum())
+        assert res["num_neg"] == pytest.approx((1 - y).sum())
+
+    def test_weighted(self):
+        from rec_now_tpu.training.metrics import DeviceStreamingAUC
+        rng = np.random.RandomState(4)
+        y = (rng.rand(256) > 0.5).astype(np.float32)
+        s = rng.randn(256).astype(np.float32)
+        # integer weights == repetition
+        w = rng.randint(1, 4, 256).astype(np.float32)
+        acc = DeviceStreamingAUC(num_buckets=8192)
+        acc.update(y, s, weights=w)
+        y_rep = np.repeat(y, w.astype(int))
+        s_rep = np.repeat(s, w.astype(int))
+        assert acc.result()["auc"] == pytest.approx(
+            naive_auc(y_rep, s_rep), abs=1e-3)
+
+    def test_degenerate_single_class(self):
+        from rec_now_tpu.training.metrics import DeviceStreamingAUC
+        acc = DeviceStreamingAUC()
+        acc.update(np.ones(8, np.float32), np.zeros(8, np.float32))
+        assert acc.result()["auc"] == 0.5
+
+
+class TestBatchGaucStats:
+    def test_ratio_matches_batch_gauc(self):
+        from rec_now_tpu.training.metrics import batch_gauc_stats
+        rng = np.random.RandomState(5)
+        y = (rng.rand(64) > 0.5).astype(np.float32)
+        s = rng.randn(64).astype(np.float32)
+        g = rng.randint(0, 6, 64)
+        win, total = batch_gauc_stats(jnp.asarray(y), jnp.asarray(s),
+                                      jnp.asarray(g))
+        assert float(win) / float(total) == pytest.approx(
+            float(batch_gauc(jnp.asarray(y), jnp.asarray(s),
+                             jnp.asarray(g))), abs=1e-6)
+
+    def test_streaming_accumulation(self):
+        # accumulating (win, total) across two halves == whole-batch
+        # stats when groups do not span the halves
+        from rec_now_tpu.training.metrics import batch_gauc_stats
+        rng = np.random.RandomState(6)
+        y = (rng.rand(64) > 0.5).astype(np.float32)
+        s = rng.randn(64).astype(np.float32)
+        g = np.concatenate([rng.randint(0, 4, 32),
+                            rng.randint(10, 14, 32)])
+        w1, t1 = batch_gauc_stats(y[:32], s[:32], g[:32])
+        w2, t2 = batch_gauc_stats(y[32:], s[32:], g[32:])
+        w, t = batch_gauc_stats(y, s, g)
+        assert float(w1 + w2) == pytest.approx(float(w), abs=1e-5)
+        assert float(t1 + t2) == pytest.approx(float(t), abs=1e-5)

@@ -147,3 +147,52 @@ class TestRoutedDropSurfacing:
                                               *trainer2.put(batch))
         assert int(metrics["sparse_dropped"]) > 0
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestEvaluateDevice:
+    def test_matches_exact_evaluate(self, mesh, data):
+        """Device-resident eval agrees with the exact host oracle.
+
+        AUC: bucketed histogram vs exact sort — within O(1/K).
+        GAUC: evaluate_device reports the in-batch pair statistic, so
+        the oracle here is batch_gauc over the same batches.
+        """
+        from rec_now_tpu.training.metrics import batch_gauc
+        trainer = Trainer(
+            DCNv2Model(deep_dims=(32, 16), dcn_sub_dim=8), FC,
+            TrainerConfig(pointwise_weight=1.0, dense_lr=0.01),
+            mesh=mesh)
+        batches = list(data.batches(256, 6, seed=7))
+        state = trainer.init(jax.random.PRNGKey(0), batches[0])
+        state, _ = trainer.train_step(state, *trainer.put(batches[0]))
+
+        eval_batches = list(data.batches(256, 5, seed=11))
+        exact = trainer.evaluate(state, eval_batches)
+        fast = trainer.evaluate_device(state, eval_batches, window=2)
+        assert fast["auc"] == pytest.approx(exact["auc"], abs=2e-3)
+        assert fast["num_pos"] + fast["num_neg"] == pytest.approx(
+            256 * 5)
+        # in-batch GAUC oracle: pair-weighted mean over the same batches
+        wins, totals = 0.0, 0.0
+        from rec_now_tpu.training.metrics import batch_gauc_stats
+        for b in eval_batches:
+            dense, ids, labels, groups, cvr, domain = trainer.put(b)
+            logits = trainer.eval_step(state, dense, ids, domain)
+            w, t = batch_gauc_stats(labels, logits, groups)
+            wins += float(w)
+            totals += float(t)
+        assert fast["gauc"] == pytest.approx(wins / totals, abs=1e-4)
+
+    def test_multi_task_cvr_auc(self, mesh, data):
+        trainer = Trainer(
+            MultiTaskModel(num_task=2), FC,
+            TrainerConfig(pointwise_weight=1.0, num_tasks=2,
+                          dense_lr=0.01),
+            mesh=mesh)
+        batches = list(data.batches(256, 2, seed=3))
+        state = trainer.init(jax.random.PRNGKey(0), batches[0])
+        fast = trainer.evaluate_device(state, batches, window=2)
+        exact = trainer.evaluate(state, batches)
+        assert fast["cvr_auc"] == pytest.approx(exact["cvr_auc"],
+                                                abs=2e-3)
+        assert fast["auc"] == pytest.approx(exact["auc"], abs=2e-3)

@@ -35,6 +35,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure", action="store_true",
                     help="also time lookup+update on the virtual mesh")
+    ap.add_argument("--bench-shape", action="store_true",
+                    help="measure at the production shape (global "
+                         f"B={B_GLOBAL}, {B_GLOBAL * F} flat ids/step) "
+                         "instead of the tiny 6,656-id probe")
     args = ap.parse_args()
 
     import jax
@@ -72,8 +76,9 @@ def main():
         if len(jax.devices()) < n:
             break
         mesh = make_mesh(n)
+        b_rows = B_GLOBAL if args.bench_shape else max(n * 8, 256)
         ids = jnp.asarray(rng.integers(
-            0, V, size=(max(n * 8, 256), F)).astype(np.int32))
+            0, V, size=(b_rows, F)).astype(np.int32))
         g = jnp.asarray(rng.normal(
             size=ids.shape + (D,)).astype(np.float32))
         for mode in ("allgather", "routed"):
