@@ -64,6 +64,13 @@ def main(argv=None):
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--eval-every", type=int, default=0,
                    help="eval cadence in steps (0 = only at the end)")
+    p.add_argument("--eval-mode", choices=("exact", "device"),
+                   default="exact",
+                   help="exact: host-side sorted AUC + corpus GAUC "
+                        "(the oracle); device: scanned on-device "
+                        "bucketed AUC + in-batch GAUC -- no "
+                        "per-example host traffic, use for wide "
+                        "held-out sweeps")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
@@ -103,6 +110,10 @@ def main(argv=None):
         if args.scan_window > 1:
             raise SystemExit("--multihost does not support --scan-window "
                              "(host batches are assembled per step)")
+        if args.eval_mode == "device":
+            raise SystemExit("--multihost does not support --eval-mode "
+                             "device (packed windows are put whole; use "
+                             "the exact host eval, which allgathers)")
         nproc = jax.process_count()
         if args.batch_size % nproc:
             raise SystemExit(f"--batch-size {args.batch_size} must divide "
@@ -181,9 +192,12 @@ def main(argv=None):
     state = trainer.init(jax.random.PRNGKey(args.seed), first)
 
     def run_eval(step):
-        res = trainer.evaluate(
+        eval_fn = (trainer.evaluate_device if args.eval_mode == "device"
+                   else trainer.evaluate)
+        res = eval_fn(
             state, make_eval_batches(args.eval_batches, args.seed + 999))
-        line = {"step": step, "eval": res}
+        line = {"step": step, "eval": res,
+                "eval_mode": args.eval_mode}
         if eval_on_train:
             line["eval_on_train"] = True
         print(json.dumps(line), flush=True)
@@ -255,9 +269,12 @@ def main(argv=None):
                     and step % args.checkpoint_every == 0:
                 ckpt.save(step, state)
 
-    res = trainer.evaluate(
+    eval_fn = (trainer.evaluate_device if args.eval_mode == "device"
+               else trainer.evaluate)
+    res = eval_fn(
         state, make_eval_batches(args.eval_batches, args.seed + 999))
-    final = {"final_eval": res, "steps": args.steps, "model": args.model}
+    final = {"final_eval": res, "steps": args.steps, "model": args.model,
+             "eval_mode": args.eval_mode}
     if eval_on_train:
         final["eval_on_train"] = True
     print(json.dumps(final), flush=True)

@@ -68,20 +68,22 @@ class TestSparseAdam:
         ids = jnp.arange(16, dtype=jnp.int32)
         target = jax.random.normal(jax.random.PRNGKey(1), (16, 4))
 
-        @jax.jit
-        def step(state):
+        def step(state, _):
             emb = table.lookup(state, ids)
             loss, grad = jax.value_and_grad(
                 lambda e: jnp.mean((e - target) ** 2))(emb)
             return table.apply_grads(state, ids, grad, lr=0.05), loss
 
-        # modest step count: the 8-virtual-device CPU mesh runs on 2
-        # cores and long per-step loops can starve XLA's collective
-        # rendezvous threads (infra flake, not a correctness issue)
-        losses = [float(step(state)[1])]
-        for _ in range(40):
-            state, loss = step(state)
-        assert float(loss) < losses[0] * 0.5
+        # one scanned dispatch, not 40 eager shard_map calls: repeated
+        # collective rendezvous on the 2-core 8-virtual-device mesh can
+        # starve XLA's rendezvous threads and abort the process (infra
+        # flake, seen under pytest-xdist contention)
+        @jax.jit
+        def run(state):
+            return jax.lax.scan(step, state, None, length=41)
+
+        _, losses = run(state)
+        assert float(losses[-1]) < float(losses[0]) * 0.5
 
     @pytest.mark.slow
     def test_trainer_integration(self, mesh):

@@ -155,6 +155,7 @@ class TestDocstringRecipe:
             block.append(ln[4:])
         return "\n".join(block)
 
+    @pytest.mark.slow
     def test_recipe_executes(self, monkeypatch):
         # single-process container: distributed init must no-op (the
         # recipe's initialize_multihost call swallows that) — but keep

@@ -43,6 +43,7 @@ class TestCLI:
 
 
 class TestCLIInProcess:
+    @pytest.mark.slow
     def test_scan_window_honors_eval_every(self, capsys):
         """--eval-every fires inside the --scan-window loop (VERDICT #7)."""
         from rec_now_tpu import train as train_mod
@@ -86,6 +87,25 @@ class TestCLIInProcess:
                  if ln.startswith("{")]
         final = [ln for ln in lines if "final_eval" in ln][0]
         assert final.get("eval_on_train") is True
+
+
+    @pytest.mark.slow
+    def test_eval_mode_device(self, capsys):
+        """--eval-mode device reports the on-device bucketed sweep."""
+        from rec_now_tpu import train as train_mod
+        rc = train_mod.main([
+            "--model", "fm", "--steps", "2", "--batch-size", "32",
+            "--rows-per-field", "256", "--embedding-dim", "4",
+            "--eval-batches", "2", "--log-every", "0",
+            "--eval-mode", "device"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        lines = [json.loads(ln) for ln in out.splitlines()
+                 if ln.startswith("{")]
+        final = [ln for ln in lines if "final_eval" in ln][0]
+        assert final["eval_mode"] == "device"
+        assert np.isfinite(final["final_eval"]["auc"])
+        assert "num_pos" in final["final_eval"]
 
 
 class TestProfiling:

@@ -146,6 +146,7 @@ def main():
     cvr = jnp.asarray((rng.rand(B) < 0.1).astype(np.float32))
     domain = jnp.zeros((B,), jnp.int32)
 
+    from rec_now_tpu.models import CANDCNModel
     configs = [
         ("1 FM towers+losses", FMModel(),
          TrainerConfig(pointwise_weight=1.0)),
@@ -157,16 +158,27 @@ def main():
         ("4 MMoE+PLE+STAR towers+losses", MultiTaskModel(num_task=2),
          TrainerConfig(pointwise_weight=1.0, listwise_weight=0.5,
                        num_tasks=2)),
+        ("5 CAN+DCNv2 towers+losses", CANDCNModel(),
+         TrainerConfig(pointwise_weight=1.0, pairwise_weight=0.5,
+                       can_param_field=8, can_dnn_dims=(16,))),
     ]
     for name, model, cfg in configs:
         tr = Trainer(model, fc, cfg, mesh=mesh)
-        params = model.init(jax.random.PRNGKey(1), dense_x, emb)
+        if tr.can_table is not None:
+            can_emb = jnp.asarray(rng.randn(
+                B, tr.can_table.dim).astype(np.float32) * 0.1)
+            params = model.init(jax.random.PRNGKey(1), dense_x, emb,
+                                can_emb)
+        else:
+            can_emb = None
+            params = model.init(jax.random.PRNGKey(1), dense_x, emb)
 
-        def fwdbwd(c, params=params, tr=tr):
+        def fwdbwd(c, params=params, tr=tr, can_emb=can_emb):
             p, s = c
             (_, _), (gp, ge) = jax.value_and_grad(
                 tr._loss_fn, argnums=(0, 1), has_aux=True)(
-                params, emb, None, dense_x, labels, groups, cvr, domain)
+                params, emb, can_emb, dense_x, labels, groups, cvr,
+                domain)
             return (p, s + jnp.sum(ge) + sum(
                 jnp.sum(x) for x in jax.tree_util.tree_leaves(gp)))
         timeit(name, fwdbwd, (jnp.zeros(()), jnp.zeros(())))
