@@ -13,10 +13,13 @@ each stage of train_pipelined separately:
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_pipeline.py
 """
+import faulthandler
 import time
 
 import numpy as np
 import jax
+
+faulthandler.dump_traceback_later(240, repeat=True)
 
 
 def main():
@@ -36,17 +39,22 @@ def main():
                       click_occurance_power=-0.5),
         mesh=mesh)
     data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
+    print("building batches...", flush=True)
     state = trainer.init(jax.random.PRNGKey(0),
                          data.sample(B, np.random.RandomState(0)))
+    print("init done", flush=True)
 
     batches = list(data.batches(B, WINDOW * (ROUNDS + 2), seed=3))
     windows = [batches[i:i + WINDOW]
                for i in range(0, len(batches), WINDOW)]
 
     # warm up (compile scan + transfer path)
+    print("warmup put...", flush=True)
     dev = trainer.put_packed_window(windows[0])
+    print("warmup compute...", flush=True)
     state, m = trainer.train_many_packed(state, dev)
     float(m["loss"][-1])
+    print("warmup done", flush=True)
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     from rec_now_tpu.training.trainer import DATA_AXIS
