@@ -70,6 +70,10 @@ class TrainerConfig:
     # sparse field's ids and passed to the model as a third input.
     can_param_field: Optional[int] = None
     can_dnn_dims: tuple = (16,)
+    # wire dense compression: 'f16' (lossless to ~1e-3) or 'u8'
+    # (per-window per-feature affine; ~15% fewer wire bytes — opt-in,
+    # see training/wire.py)
+    wire_dense_mode: str = "f16"
 
 
 class TrainState(NamedTuple):
@@ -452,7 +456,8 @@ class Trainer:
         """Wire format bound to this trainer's feature layout."""
         if getattr(self, "_wire", None) is None:
             self._wire = WireFormat(self.fc.num_sparse,
-                                    self.fc.rows_per_field)
+                                    self.fc.rows_per_field,
+                                    dense_mode=self.cfg.wire_dense_mode)
         return self._wire
 
     def put_packed_window(self, batches) -> PackedBatch:
@@ -464,12 +469,18 @@ class Trainer:
         with compute — the production double-buffering loop.
         """
         packed = self.wire.pack_window(batches)
+        repl = self.wire.replicated_fields()
 
-        def shard(x):
-            spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+        def shard(name, x):
+            if name in repl:   # per-window metadata: replicate
+                spec = P()
+            else:
+                spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
             return jax.device_put(jnp.asarray(x),
                                   NamedSharding(self.mesh, spec))
-        return PackedBatch(*[shard(x) for x in packed])
+        return PackedBatch(*[shard(n, x)
+                             for n, x in zip(PackedBatch._fields,
+                                             packed)])
 
     def _build_train_many_packed(self):
         wire = self.wire

@@ -8,16 +8,25 @@ module packs batches host-side (numpy, vectorized) and decodes on device
 inside the jitted step (a few cheap shifts — VPU noise):
 
   * sparse ids:  bit-packed to ``ceil(log2(rows_per_field))`` bits each
-    (17 bits for the standard 100k/field layout) into uint32 words;
+    (17 bits for the standard 100k/field layout) into uint32 words —
+    only as many words as the packing actually touches;
   * dense:       float16 (post-log1p features span ~[-20, 20] with ~1e-3
-    resolution — far inside f16 range);
-  * labels/cvr:  uint8 (0/1); domain index: uint8;
-  * group ids:   uint16 when the group space fits, else uint32.
+    resolution — far inside f16 range), or optional uint8 with a
+    per-window per-feature affine (``dense_mode='u8'``);
+  * flags:       labels (bit 0), cvr labels (bit 1) and the domain
+    index (bits 2-7, < 64 domains) share ONE uint8;
+  * group ids:   remapped per batch to first-occurrence in-batch
+    indices (< B), so they always fit uint16.  Everything the training
+    step derives from groups — pair masks, occurrence counts, listwise
+    rows, in-batch GAUC — depends only on within-batch equality
+    structure, which a per-batch bijection preserves.  The exact host
+    eval (cross-batch corpus GAUC) reads the raw host batch and never
+    goes through this wire.
 
-Standard layout: 91 B/example vs 172 raw — 1.9x more examples/s through
-the same link.  Packing is vectorized numpy (runs on the prefetch
-thread); decoding is traced into the jitted train step so the packed
-form is also what crosses the PCIe/tunnel link.
+Standard layout: 85 B/example vs 172 raw (72 with u8 dense) — ~2x more
+examples/s through the same link.  Packing is vectorized numpy (runs on
+the prefetch thread); decoding is traced into the jitted train step so
+the packed form is also what crosses the PCIe/tunnel link.
 """
 from __future__ import annotations
 
@@ -31,13 +40,17 @@ from rec_now_tpu.training.data import Batch
 
 
 class PackedBatch(NamedTuple):
-    """Host-side packed batch (numpy); leading axes preserved."""
-    dense: np.ndarray       # (..., num_dense) float16
+    """Host-side packed batch (numpy); leading axes preserved.
+
+    ``dense_scale`` is (..., 2, num_dense) f32 (offset, step) when
+    ``dense_mode='u8'``; a (..., 2, num_dense) zeros placeholder under
+    f16 (kept shape-stable so the jitted decode signature is fixed).
+    """
+    dense: np.ndarray       # (..., num_dense) float16 | uint8
+    dense_scale: np.ndarray  # (..., 2, num_dense) f32 affine (u8 mode)
     id_words: np.ndarray    # (..., num_words) uint32 bit-packed ids
-    labels: np.ndarray      # (...,) uint8
-    group_ids: np.ndarray   # (...,) uint16 | uint32
-    cvr_labels: np.ndarray  # (...,) uint8
-    domain_idx: np.ndarray  # (...,) uint8 serving domain
+    group_ids: np.ndarray   # (...,) uint16 in-batch remapped groups
+    flags: np.ndarray       # (...,) uint8: label | cvr<<1 | domain<<2
 
 
 def id_bits(rows_per_field: int) -> int:
@@ -46,8 +59,14 @@ def id_bits(rows_per_field: int) -> int:
 
 
 def num_words(num_sparse: int, bits: int) -> int:
-    """uint32 words per example (+1 pad word so decode is branchless)."""
-    return (num_sparse * bits + 31) // 32 + 1
+    """uint32 words per example — the exact count packing touches.
+
+    Field i occupies bits [i*bits, (i+1)*bits); the highest word index
+    any field writes is ((num_sparse*bits - 1) // 32), so the count is
+    that + 1 (no pad word: a field never reads past the word its last
+    bit lands in).
+    """
+    return (num_sparse * bits - 1) // 32 + 1
 
 
 def pack_ids(ids: np.ndarray, bits: int) -> np.ndarray:
@@ -77,70 +96,143 @@ def unpack_ids(words: jnp.ndarray, num_sparse: int,
         start = i * bits
         wi, sh = start // 32, start % 32
         lo = words[..., wi] >> jnp.uint32(sh)
-        if sh:  # sh == 0 -> the low word already holds all the bits
+        if sh and sh + bits > 32:   # field spans into the next word
             hi = words[..., wi + 1] << jnp.uint32(32 - sh)
             lo = lo | hi
         cols.append((lo & mask).astype(jnp.int32))
     return jnp.stack(cols, axis=-1)
 
 
+def remap_groups(group_ids: np.ndarray) -> np.ndarray:
+    """Per-batch bijective remap of (..., B) group ids to uint16.
+
+    Each batch row's ids are replaced by their sorted-unique rank
+    (dense in 0..B-1).  Preserves within-batch equality structure and
+    therefore every training-side statistic derived from groups.
+    """
+    if group_ids.shape[-1] > 0xFFFF:
+        raise ValueError("in-batch group remap needs batch <= 65535; "
+                         f"got {group_ids.shape[-1]}")
+    flat = group_ids.reshape(-1, group_ids.shape[-1])
+    out = np.empty(flat.shape, np.uint16)
+    for r in range(flat.shape[0]):
+        _, inv = np.unique(flat[r], return_inverse=True)
+        out[r] = inv.astype(np.uint16)
+    return out.reshape(group_ids.shape)
+
+
+def _pack_flags(labels, cvr, domain) -> np.ndarray:
+    dom = domain.astype(np.uint8)
+    if dom.size and int(dom.max()) >= 64:
+        raise ValueError(
+            "wire flags byte holds the domain index in 6 bits; "
+            f"got domain {int(dom.max())} >= 64")
+    return ((labels > 0).astype(np.uint8)
+            | ((cvr > 0).astype(np.uint8) << np.uint8(1))
+            | (dom << np.uint8(2)))
+
+
 class WireFormat:
-    """Pack/decode pair bound to a feature layout."""
+    """Pack/decode pair bound to a feature layout.
+
+    Args:
+        num_sparse: sparse fields per example.
+        rows_per_field: id space per field (sets bits/id).
+        dense_mode: 'f16' (default, lossless to ~1e-3) or 'u8'
+            (per-window per-feature affine quantization — step =
+            range/255, far below the gradient-noise floor for log1p
+            count features; opt-in).
+    """
 
     def __init__(self, num_sparse: int, rows_per_field: int,
-                 num_groups: int = 1 << 31):
+                 dense_mode: str = "f16"):
+        if dense_mode not in ("f16", "u8"):
+            raise ValueError(f"unknown dense_mode {dense_mode!r}")
         self.num_sparse = num_sparse
         self.bits = id_bits(rows_per_field)
         self.words = num_words(num_sparse, self.bits)
-        self.group_dtype = (np.uint16 if num_groups <= 1 << 16
-                            else np.uint32)
+        self.dense_mode = dense_mode
+
+    def _pack_dense(self, dense: np.ndarray):
+        """-> (packed dense, (..., 2, F) f32 scale) for the layout."""
+        if self.dense_mode == "f16":
+            scale = np.zeros(dense.shape[:-2] + (2,) + dense.shape[-1:],
+                             np.float32)
+            return dense.astype(np.float16), scale
+        lo = dense.min(axis=-2)                          # (..., F)
+        hi = dense.max(axis=-2)
+        step = (hi - lo) / 255.0
+        q = np.rint((dense - lo[..., None, :])
+                    / np.where(step > 0, step, 1.0)[..., None, :])
+        scale = np.stack([lo, step], axis=-2).astype(np.float32)
+        return q.astype(np.uint8), scale
 
     def pack(self, batch: Batch) -> PackedBatch:
         """Compress one host batch (arbitrary leading axes)."""
+        d, scale = self._pack_dense(batch.dense)
         return PackedBatch(
-            dense=batch.dense.astype(np.float16),
+            dense=d, dense_scale=scale,
             id_words=pack_ids(batch.sparse_ids, self.bits),
-            labels=batch.labels.astype(np.uint8),
-            group_ids=batch.group_ids.astype(self.group_dtype),
-            cvr_labels=batch.cvr_labels.astype(np.uint8),
-            domain_idx=batch.domain_idx.astype(np.uint8))
+            group_ids=remap_groups(batch.group_ids),
+            flags=_pack_flags(batch.labels, batch.cvr_labels,
+                              batch.domain_idx))
 
     def pack_window(self, batches: Sequence[Batch]) -> PackedBatch:
         """Stack + compress a window of identically-shaped batches."""
+        d, scale = self._pack_dense(
+            np.stack([b.dense for b in batches]))
         return PackedBatch(
-            dense=np.stack([b.dense for b in batches]
-                           ).astype(np.float16),
+            dense=d, dense_scale=scale,
             id_words=pack_ids(
                 np.stack([b.sparse_ids for b in batches]), self.bits),
-            labels=np.stack([b.labels for b in batches]
-                            ).astype(np.uint8),
-            group_ids=np.stack([b.group_ids for b in batches]
-                               ).astype(self.group_dtype),
-            cvr_labels=np.stack([b.cvr_labels for b in batches]
-                                ).astype(np.uint8),
-            domain_idx=np.stack([b.domain_idx for b in batches]
-                                ).astype(np.uint8))
+            group_ids=remap_groups(
+                np.stack([b.group_ids for b in batches])),
+            flags=_pack_flags(
+                np.stack([b.labels for b in batches]),
+                np.stack([b.cvr_labels for b in batches]),
+                np.stack([b.domain_idx for b in batches])))
 
     def decode(self, packed) -> Tuple[jnp.ndarray, jnp.ndarray,
                                       jnp.ndarray, jnp.ndarray,
                                       jnp.ndarray, jnp.ndarray]:
         """Device-side decode -> (dense f32, ids i32, labels f32,
         groups i32, cvr f32, domain i32).  Traced inside jit."""
-        dense = packed.dense.astype(jnp.float32)
+        if self.dense_mode == "u8":
+            lo = packed.dense_scale[..., 0, :]
+            step = packed.dense_scale[..., 1, :]
+            dense = (packed.dense.astype(jnp.float32)
+                     * step[..., None, :] + lo[..., None, :])
+        else:
+            dense = packed.dense.astype(jnp.float32)
         ids = unpack_ids(packed.id_words, self.num_sparse, self.bits)
-        labels = packed.labels.astype(jnp.float32)
+        flags = packed.flags
+        labels = (flags & jnp.uint8(1)).astype(jnp.float32)
+        cvr = ((flags >> jnp.uint8(1)) & jnp.uint8(1)).astype(
+            jnp.float32)
+        domain = (flags >> jnp.uint8(2)).astype(jnp.int32)
         groups = packed.group_ids.astype(jnp.int32)
-        cvr = packed.cvr_labels.astype(jnp.float32)
-        domain = packed.domain_idx.astype(jnp.int32)
         return dense, ids, labels, groups, cvr, domain
+
+    @staticmethod
+    def replicated_fields() -> Tuple[str, ...]:
+        """PackedBatch fields that must NOT be batch-sharded.
+
+        ``dense_scale`` is (..., 2, F) per-window metadata; sharding its
+        size-2 axis over the data axis would be wrong — replicate it.
+        """
+        return ("dense_scale",)
 
     @staticmethod
     def wire_cost(num_dense: int, num_sparse: int,
                   rows_per_field: int,
-                  num_groups: int = 1 << 31) -> Tuple[int, int]:
-        """(packed, raw) bytes per example."""
+                  dense_mode: str = "f16") -> Tuple[int, int]:
+        """(packed, raw) bytes per example (scale metadata amortizes
+        to ~0 over a window and is excluded)."""
         bits = id_bits(rows_per_field)
-        packed = (num_dense * 2 + num_words(num_sparse, bits) * 4
-                  + 1 + (2 if num_groups <= 1 << 16 else 4) + 1 + 1)
+        per_dense = 2 if dense_mode == "f16" else 1
+        packed = (num_dense * per_dense
+                  + num_words(num_sparse, bits) * 4
+                  + 2     # group ids u16 (in-batch remap)
+                  + 1)    # flags byte: label | cvr | domain
         raw = num_dense * 4 + num_sparse * 4 + 4 + 4 + 4 + 4
         return packed, raw

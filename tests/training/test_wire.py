@@ -39,37 +39,75 @@ class TestPackIds:
 
 class TestWireFormat:
     def test_wire_cost_standard_layout(self):
-        packed, raw = WireFormat.wire_cost(13, 26, 100_000, 50_000)
+        packed, raw = WireFormat.wire_cost(13, 26, 100_000)
         assert raw == 172
-        # 13*2 dense + 15 words*4 ids + 1 label + 2 group + 1 cvr + 1 dom
-        assert packed == 26 + 60 + 5
-        assert packed < raw * 0.6
+        # 13*2 dense + 14 words*4 ids + 2 group (u16 remap) + 1 flags
+        assert packed == 26 + 56 + 2 + 1
+        assert packed < raw * 0.5
+        packed_u8, _ = WireFormat.wire_cost(13, 26, 100_000,
+                                            dense_mode="u8")
+        assert packed_u8 == 13 + 56 + 2 + 1
+
+    @staticmethod
+    def _same_partition(a, b):
+        """Group vectors induce identical within-batch partitions."""
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        return np.array_equal(
+            a[:, None] == a[None, :], b[:, None] == b[None, :])
 
     def test_pack_decode_batch(self):
         data = SyntheticCriteo(rows_per_field=1000, num_users=200)
         b = data.sample(128, np.random.RandomState(0))
-        wf = WireFormat(26, 1000, num_groups=200)
+        wf = WireFormat(26, 1000)
         packed = wf.pack(b)
         assert packed.group_ids.dtype == np.uint16
         dense, ids, labels, groups, cvr, domain = wf.decode(
             jax.tree_util.tree_map(jnp.asarray, packed))
         np.testing.assert_array_equal(np.asarray(ids), b.sparse_ids)
         np.testing.assert_array_equal(np.asarray(labels), b.labels)
-        np.testing.assert_array_equal(np.asarray(groups), b.group_ids)
+        # groups are remapped per batch (bijectively) to fit uint16:
+        # the equality structure — all the training step consumes —
+        # must be preserved exactly
+        assert self._same_partition(groups, b.group_ids)
         np.testing.assert_array_equal(np.asarray(cvr), b.cvr_labels)
         np.testing.assert_array_equal(np.asarray(domain), b.domain_idx)
         np.testing.assert_allclose(np.asarray(dense), b.dense,
                                    rtol=1e-3, atol=1e-3)
 
+    def test_pack_decode_u8_dense(self):
+        data = SyntheticCriteo(rows_per_field=1000, num_users=200)
+        b = data.sample(128, np.random.RandomState(0))
+        wf = WireFormat(26, 1000, dense_mode="u8")
+        packed = wf.pack(b)
+        assert packed.dense.dtype == np.uint8
+        dense, ids, labels, groups, cvr, domain = wf.decode(
+            jax.tree_util.tree_map(jnp.asarray, packed))
+        span = b.dense.max(0) - b.dense.min(0)
+        np.testing.assert_allclose(
+            np.asarray(dense), b.dense,
+            atol=float(span.max()) / 255 * 0.51 + 1e-6)
+        np.testing.assert_array_equal(np.asarray(ids), b.sparse_ids)
+
     def test_pack_window_stacks(self):
         data = SyntheticCriteo(rows_per_field=1000, num_users=200)
         bs = list(data.batches(32, 3))
-        wf = WireFormat(26, 1000, num_groups=200)
+        wf = WireFormat(26, 1000)
         pw = wf.pack_window(bs)
         assert pw.id_words.shape[:2] == (3, 32)
         ids = np.asarray(unpack_ids(jnp.asarray(pw.id_words), 26,
                                     wf.bits))
         np.testing.assert_array_equal(ids[1], bs[1].sparse_ids)
+        # per-batch group remap: each window row keeps its partition
+        assert self._same_partition(pw.group_ids[1], bs[1].group_ids)
+
+    def test_flags_domain_bound(self):
+        wf = WireFormat(4, 16)
+        data = SyntheticCriteo(num_sparse=4, rows_per_field=16,
+                               num_users=8)
+        b = data.sample(8, np.random.RandomState(0))
+        bad = b._replace(domain_idx=np.full(8, 64, np.int32))
+        with pytest.raises(ValueError):
+            wf.pack(bad)
 
 
 class TestPackedTraining:
