@@ -241,7 +241,8 @@ def write_synthetic_tsv(path: str, num_rows: int, num_dense: int = 13,
                         num_sparse: int = 26,
                         rows_per_field: int = 100_000,
                         num_users: int = 5_000, seed: int = 0,
-                        missing_rate: float = 0.05) -> None:
+                        missing_rate: float = 0.05,
+                        sample_seed: int | None = None) -> None:
     """Write a Criteo-format TSV whose labels follow the planted model.
 
     Tokens are hex strings; the label is drawn from
@@ -249,13 +250,18 @@ def write_synthetic_tsv(path: str, num_rows: int, num_dense: int = 13,
     logit evaluated at the tokens' *hashed* ids, so AUC learned from the
     file through the real parser is comparable with the synthetic
     stream.  C0 carries the user id (the pairwise group key).
+
+    ``sample_seed`` (default ``seed + 1``) seeds only the row sampler,
+    so shards generated in parallel can share one planted model
+    (same ``seed``) while drawing disjoint samples.
     """
     from rec_now_tpu.training.data import SyntheticCriteo
 
     syn = SyntheticCriteo(num_dense=num_dense, num_sparse=num_sparse,
                           rows_per_field=rows_per_field,
                           num_users=num_users, seed=seed)
-    rng = np.random.RandomState(seed + 1)
+    rng = np.random.RandomState(
+        seed + 1 if sample_seed is None else sample_seed)
     with open(path, "w") as f:
         # vector-generate in blocks to keep memory flat
         block = 65536
