@@ -232,24 +232,15 @@ def main(argv=None):
                          > prev // args.checkpoint_every):
                 ckpt.save(step, state)
 
-        dev = None
-        for batch in batches:
-            buf.append(batch)
-            if len(buf) < window:
-                continue
-            nxt = trainer.put_packed_window(buf)   # async transfer
-            buf = []
-            if dev is not None:
-                state, mseq = trainer.train_many_packed(state, dev)
-                after_window(step, mseq, window)
-            dev = nxt
-        if dev is not None:
-            state, mseq = trainer.train_many_packed(state, dev)
-            after_window(step, mseq, window)
-        if buf:                                    # ragged tail window
-            state, mseq = trainer.train_many_packed(
-                state, trainer.put_packed_window(buf))
-            after_window(step, mseq, len(buf))
+        # parse + pack + device_put run on the prefetch worker thread;
+        # the loop thread only dispatches scans — steady state is
+        # max(host ingest, device window), not their sum
+        from rec_now_tpu.training.prefetch import WindowPrefetcher
+        with WindowPrefetcher(batches, trainer.put_packed_window,
+                              window) as wins:
+            for dev_win, n_steps in wins:
+                state, mseq = trainer.train_many_packed(state, dev_win)
+                after_window(step, mseq, n_steps)
         batches = []
     from rec_now_tpu.training.prefetch import DevicePrefetcher
     with DevicePrefetcher(batches, put_fn) as prefetched:

@@ -96,3 +96,59 @@ class DevicePrefetcher:
     def __exit__(self, *exc):
         self.close()
         return False
+
+
+class WindowPrefetcher:
+    """Stage PACKED WINDOWS ahead of the scanned training loop.
+
+    The production inner loop (train.py ``--scan-window``) consumes
+    whole windows: ``put_packed_window`` packs W host batches into the
+    compressed wire format (training/wire.py) and starts their single
+    transfer; ``train_many_packed`` scans the window on device.  When
+    the source iterator is a real parser (CriteoTSV), pulling + packing
+    on the loop thread serializes host work with device dispatch — this
+    producer moves parse + pack + device_put onto a worker thread, so
+    steady-state becomes max(host ingest, device window) instead of
+    their sum.
+
+    Yields ``(device_window, n_steps)`` — the last window may be ragged.
+
+    Args:
+        batches: host-batch iterable (parser or generator output).
+        put_window: ``trainer.put_packed_window`` (packs + transfers a
+            list of host batches); runs on the worker thread.
+        window: steps per window.
+        depth: windows staged ahead (2 = double buffering).
+    """
+
+    def __init__(self, batches: Iterable, put_window: Callable,
+                 window: int, depth: int = 2):
+        if window < 1:
+            raise ValueError("window must be >= 1")
+
+        def windows():
+            buf = []
+            for b in batches:
+                buf.append(b)
+                if len(buf) == window:
+                    yield buf, window
+                    buf = []
+            if buf:
+                yield buf, len(buf)
+
+        self._inner = DevicePrefetcher(
+            windows(), lambda wn: (put_window(wn[0]), wn[1]),
+            depth=depth)
+
+    def __iter__(self) -> Iterator:
+        return iter(self._inner)
+
+    def close(self) -> None:
+        self._inner.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False

@@ -96,3 +96,61 @@ class TestDevicePrefetcher:
                 state, metrics = tr.train_step(state, *dev)
                 losses.append(float(metrics["loss"]))
         assert len(losses) == 4 and np.all(np.isfinite(losses))
+
+
+class TestWindowPrefetcher:
+    def test_windows_and_ragged_tail(self):
+        from rec_now_tpu.training.prefetch import WindowPrefetcher
+        got = list(WindowPrefetcher(range(13), lambda ws: list(ws),
+                                    window=5))
+        assert [(w, n) for w, n in got] == [
+            ([0, 1, 2, 3, 4], 5), ([5, 6, 7, 8, 9], 5),
+            ([10, 11, 12], 3)]
+
+    def test_pack_runs_on_worker_thread(self):
+        import threading
+        from rec_now_tpu.training.prefetch import WindowPrefetcher
+        main = threading.current_thread().name
+        seen = []
+
+        def put_window(ws):
+            seen.append(threading.current_thread().name)
+            return tuple(ws)
+
+        out = list(WindowPrefetcher(range(6), put_window, window=3))
+        assert len(out) == 2 and all(n != main for n in seen)
+
+    def test_matches_direct_scan_loop(self):
+        """CLI window path == direct train_many_packed on same windows."""
+        import jax
+        import jax.numpy as jnp
+        from rec_now_tpu.models import FeatureConfig
+        from rec_now_tpu.models.fm_model import FMModel
+        from rec_now_tpu.training import (SyntheticCriteo, Trainer,
+                                          TrainerConfig)
+        from rec_now_tpu.training.prefetch import WindowPrefetcher
+
+        fc = FeatureConfig(rows_per_field=512, embedding_dim=4)
+        data = SyntheticCriteo(rows_per_field=512, num_users=64)
+        batch = next(data.batches(64, 1))
+
+        def run(prefetched: bool):
+            tr = Trainer(FMModel(), fc, TrainerConfig())
+            state = tr.init(jax.random.PRNGKey(0), batch)
+            batches = list(data.batches(64, 7, seed=3))
+            if prefetched:
+                with WindowPrefetcher(iter(batches),
+                                      tr.put_packed_window, 3) as wins:
+                    for dev_win, n in wins:
+                        state, _ = tr.train_many_packed(state, dev_win)
+            else:
+                for lo in range(0, 7, 3):
+                    win = batches[lo:lo + 3]
+                    state, _ = tr.train_many_packed(
+                        state, tr.put_packed_window(win))
+            return state
+
+        s1, s2 = run(True), run(False)
+        for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                        jax.tree_util.tree_leaves(s2.params)):
+            assert jnp.array_equal(a, b)

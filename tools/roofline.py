@@ -75,9 +75,19 @@ def main():
     acc_mb = vp * pack * 4
 
     # --- lookup: N random 512 B packed-line gathers + select ------------
+    # NOTE on probe validity: every probe must (a) make its inputs
+    # depend on the scan carry and (b) feed its outputs back into the
+    # carry — otherwise the body is loop-invariant and XLA's while-loop
+    # LICM hoists the whole computation out of the scan, measuring
+    # nothing (symptom: "faster than the HBM floor").  The carried
+    # scalar `s` provides the data dependence; its runtime value is
+    # irrelevant (ids + s%1 == ids numerically, but XLA cannot know).
+    def lookup_probe(c):
+        s = c[1]
+        ids_i = ids + s.astype(jnp.int32) % 1
+        return (c[0], s + jnp.sum(table.lookup(c[0], ids_i)) * 1e-20)
     timeit("lookup (gather 213k packed lines)",
-           lambda c: (c[0], jnp.sum(table.lookup(c[0], ids)) * 0 + c[1]),
-           (st, jnp.zeros(())),
+           lookup_probe, (st, jnp.zeros(())),
            bytes_moved=n_ids * pack * D * 4)
 
     # --- update decomposition -------------------------------------------
@@ -85,8 +95,8 @@ def main():
 
     def scatter_only(c):
         buf, s = c
-        pr, lines = table._expand(flat_rows,
-                                  grads.reshape(-1, D).astype(jnp.bfloat16))
+        g_i = (grads + s * 1e-30).reshape(-1, D).astype(jnp.bfloat16)
+        pr, lines = table._expand(flat_rows, g_i)
         out = jnp.zeros((vp, pack * D), jnp.bfloat16).at[pr].add(lines)
         return (buf, s + jnp.sum(out[:1].astype(jnp.float32)))
     timeit("grad scatter (zero-fill + 213k line RMW)",
@@ -175,9 +185,12 @@ def main():
 
         def fwdbwd(c, params=params, tr=tr, can_emb=can_emb):
             p, s = c
+            # carry-dependent inputs so the scan body cannot be hoisted
+            emb_i = emb + s * 1e-30
+            can_i = None if can_emb is None else can_emb + s * 1e-30
             (_, _), (gp, ge) = jax.value_and_grad(
                 tr._loss_fn, argnums=(0, 1), has_aux=True)(
-                params, emb, can_emb, dense_x, labels, groups, cvr,
+                params, emb_i, can_i, dense_x, labels, groups, cvr,
                 domain)
             return (p, s + jnp.sum(ge) + sum(
                 jnp.sum(x) for x in jax.tree_util.tree_leaves(gp)))
