@@ -43,7 +43,9 @@ def main():
                    dcn_experts=2),
         fc,
         TrainerConfig(pointwise_weight=1.0, pairwise_weight=0.5,
-                      click_occurance_power=-0.5),
+                      click_occurance_power=-0.5,
+                      wire_dense_mode=os.environ.get(
+                          "BENCH_WIRE_DENSE", "f16")),
         mesh=mesh)
     data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
 

@@ -61,6 +61,11 @@ def main(argv=None):
     p.add_argument("--pairwise-weight", type=float, default=0.0)
     p.add_argument("--listwise-weight", type=float, default=0.0)
     p.add_argument("--occurance-power", type=float, default=0.0)
+    p.add_argument("--wire-dense-mode", choices=("f16", "u8"),
+                   default="f16",
+                   help="dense-feature wire encoding: f16 (lossless to "
+                        "~1e-3) or u8 (per-window affine quantization, "
+                        "72 vs 85 B/example)")
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--eval-every", type=int, default=0,
                    help="eval cadence in steps (0 = only at the end)")
@@ -130,6 +135,7 @@ def main(argv=None):
         sparse_optimizer=args.sparse_optimizer,
         sparse_update_mode=args.sparse_update_mode,
         sparse_route_mode=args.sparse_route_mode,
+        wire_dense_mode=args.wire_dense_mode,
         num_tasks=num_tasks)
     mesh = make_mesh()
     trainer = Trainer(model, fc, cfg, mesh=mesh)
