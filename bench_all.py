@@ -101,6 +101,12 @@ def main():
         if only and i not in only:
             continue
         model, cfg = make()
+        # production wire setting (u8 dense): AUC parity with f16
+        # proven to 1e-5 (BASELINE.md r3)
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, wire_dense_mode=os.environ.get(
+                'BENCH_WIRE_DENSE', 'u8'))
         results.append(bench_one(name, model, cfg))
 
     import jax
