@@ -52,6 +52,45 @@ def _as_vec(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.reshape(x, (-1,))
 
 
+def _blocked_capable(fn: Callable) -> bool:
+    """Whether a pair-loss callable satisfies the blocked-tile contract.
+
+    The O(block * B) scan form evaluates the callable once per tile as
+    ``fn(pos, neg, w, pair_mask=m, reduce_mean=False)`` and sums tile
+    results, so the callable must (a) accept those two keywords and
+    (b) be elementwise in (pos, neg, w) — (a) is checkable, (b) is the
+    documented contract (:func:`bpr_loss_func` satisfies both).
+    Callables without the keywords fall back to the dense (B, B) path,
+    which materializes ~B*B*4-byte slabs — avoid at B >= 4096.
+    """
+    import inspect
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        return False
+    if any(p.kind == inspect.Parameter.VAR_KEYWORD
+           for p in params.values()):
+        return True
+    return "pair_mask" in params and "reduce_mean" in params
+
+
+def _callable_reduces(fn: Callable) -> bool:
+    """The effective ``reduce_mean`` a bare ``fn(pos, neg, w, mask)``
+    call would use (partial bindings override the signature default)."""
+    import inspect
+    while isinstance(fn, functools.partial):
+        if "reduce_mean" in fn.keywords:
+            return bool(fn.keywords["reduce_mean"])
+        fn = fn.func
+    try:
+        p = inspect.signature(fn).parameters.get("reduce_mean")
+    except (TypeError, ValueError):
+        return True
+    if p is None or p.default is inspect.Parameter.empty:
+        return True
+    return bool(p.default)
+
+
 def _generate_pair_mask(group: jnp.ndarray,
                         only_upper_band: bool = False) -> jnp.ndarray:
     """(B, B) bool mask of same-group, off-diagonal sample pairs.
@@ -247,6 +286,12 @@ def pairwise_loss(outputs: jnp.ndarray,
             occurrence weighting.
         pairloss_func: callable ``(pos, neg, weights, pair_mask=...)`` over
             dense (B, B) matrices; defaults to :func:`bpr_loss_func`.
+            At B >= 4096 callables that also accept ``reduce_mean`` and
+            are elementwise per pair (the :func:`bpr_loss_func`
+            contract) run through the O(block * B)-memory scan form;
+            callables without those keywords fall back to the dense
+            path, which materializes (B, B) f32 slabs — supply the
+            keywords for production batch sizes.
         only_use_wrong_order_pair: keep only mis-ordered pairs (negative
             scored above positive).
         return_num_pair: also return the number of valid pairs.
@@ -278,21 +323,33 @@ def pairwise_loss(outputs: jnp.ndarray,
             click_occurance_power=click_occurance_power, mask=mask)
 
     # bounded-memory fallback: option combinations the kernel does not
-    # cover (custom label-pair weight fn) still must not materialize
-    # (B, B) slabs at production batch sizes — route to the blocked scan
-    # form, which is numerically identical (tests/losses/test_blocked.py)
-    if (pairloss_func is bpr_loss_func
-            and _as_vec(outputs).shape[0] >= BLOCKED_MIN_BATCH):
+    # cover (custom label-pair weight fn, custom pair-loss callable)
+    # still must not materialize (B, B) slabs at production batch
+    # sizes — route to the blocked scan form, which is numerically
+    # identical (tests/losses/test_blocked.py).  Custom pair-loss
+    # callables qualify when they honor the tile contract
+    # (:func:`_blocked_capable`): accept ``pair_mask``/``reduce_mean``
+    # keywords and be elementwise per pair.  Callables without the
+    # keywords fall through to the dense path — at B >= 4096 that
+    # path lives several ~B^2 x 4-byte slabs in fwd+bwd.
+    if (_as_vec(outputs).shape[0] >= BLOCKED_MIN_BATCH
+            and (pairloss_func is bpr_loss_func
+                 or _blocked_capable(pairloss_func))):
         from rec_now_tpu.losses.pairwise_blocked import pairwise_loss_blocked
         weight_fn = label_pair_to_weight_func
         if weight_fn is not None and kwargs:
             weight_fn = functools.partial(weight_fn, **kwargs)
+        custom = (None if pairloss_func is bpr_loss_func
+                  else pairloss_func)
         return pairwise_loss_blocked(
             outputs, labels, groups,
             only_use_wrong_order_pair=only_use_wrong_order_pair,
             return_num_pair=return_num_pair,
             click_occurance_power=click_occurance_power, mask=mask,
-            label_pair_to_weight_func=weight_fn)
+            label_pair_to_weight_func=weight_fn,
+            pairloss_func=custom,
+            reduce_mean=(True if custom is None
+                         else _callable_reduces(pairloss_func)))
 
     pair_mask = generate_pair_mask(groups)
     pair_mask = _apply_sample_mask(pair_mask, mask)

@@ -83,8 +83,9 @@ def pairwise_loss_blocked(outputs: jnp.ndarray,
                           mask: Optional[jnp.ndarray] = None,
                           label_pair_to_weight_func: Optional[Callable]
                           = None,
-                          reduce_mean: bool = True):
-    """Blocked BPR pairwise loss; semantics == pairwise_loss + bpr.
+                          reduce_mean: bool = True,
+                          pairloss_func: Optional[Callable] = None):
+    """Blocked pairwise loss; semantics == pairwise_loss (+ BPR default).
 
     Args:
         outputs, labels, groups, mask, label_pair_to_weight_func,
@@ -92,9 +93,18 @@ def pairwise_loss_blocked(outputs: jnp.ndarray,
         return_num_pair: as in :func:`pairwise_loss`.
         block_rows: rows per scan step (must divide the padded batch;
             the batch is padded with masked rows to a multiple).
-        factor: BPR inverse temperature.
+        factor: BPR inverse temperature (ignored when ``pairloss_func``
+            is given — bake a temperature into the callable instead).
         reduce_mean: divide by the pair count (+eps), like
             ``bpr_loss_func(reduce_mean=True)``.
+        pairloss_func: optional custom elementwise pair-loss callable.
+            Invoked once per (block, B) tile as
+            ``fn(pos, neg, weights, pair_mask=m, reduce_mean=False)``
+            and must return the SUM of per-pair losses over valid
+            entries of the tile (the contract :func:`bpr_loss_func`
+            satisfies) — losses must be elementwise in (pos, neg, w)
+            for tile-wise summation to equal the dense result.  None =
+            the inlined BPR fast path.
 
     Returns:
         scalar loss (and pair count when ``return_num_pair``).
@@ -152,15 +162,31 @@ def pairwise_loss_blocked(outputs: jnp.ndarray,
                                        only_use_wrong_order_pair,
                                        label_pair_to_weight_func)
         out_rows = jax.lax.dynamic_slice_in_dim(outputs, i0, block_rows)
-        logits = (out_rows[:, None] - outputs[None, :]) * factor
-        losses = jax.nn.softplus(-logits)
-        if weights is not None:
-            losses = losses * jax.lax.stop_gradient(weights)
         if occ_w is not None:
-            occ_rows = jax.lax.dynamic_slice_in_dim(occ_w, i0, block_rows)
-            losses = losses * jax.lax.stop_gradient(occ_rows)[:, None]
-        pmf = jax.lax.stop_gradient(pm.astype(losses.dtype))
-        total = total + jnp.sum(losses * pmf)
+            occ_rows = jax.lax.dynamic_slice_in_dim(
+                occ_w, i0, block_rows)[:, None]
+        pmf = jax.lax.stop_gradient(pm.astype(jnp.float32))
+        if pairloss_func is not None:
+            # custom elementwise pair loss: evaluate the tile densely
+            # and take its masked SUM — same bounded O(R * B) footprint
+            w = weights
+            if occ_w is not None:
+                w = occ_rows if w is None else w * occ_rows
+            if w is not None:
+                w = jax.lax.stop_gradient(
+                    jnp.broadcast_to(w, pm.shape).astype(jnp.float32))
+            pos = jnp.broadcast_to(out_rows[:, None], pm.shape)
+            neg = jnp.broadcast_to(outputs[None, :], pm.shape)
+            total = total + pairloss_func(pos, neg, w, pair_mask=pmf,
+                                          reduce_mean=False)
+        else:
+            logits = (out_rows[:, None] - outputs[None, :]) * factor
+            losses = jax.nn.softplus(-logits)
+            if weights is not None:
+                losses = losses * jax.lax.stop_gradient(weights)
+            if occ_w is not None:
+                losses = losses * jax.lax.stop_gradient(occ_rows)
+            total = total + jnp.sum(losses * pmf)
         n = n + jnp.sum(pmf)
         return (total, n), None
 

@@ -82,18 +82,22 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 
 def put_local_batch(mesh: Mesh, x: np.ndarray,
-                    axis_name: str = DATA_AXIS):
+                    axis_name: str = DATA_AXIS,
+                    batch_axis: int = 0):
     """Assemble per-host data into a global batch-sharded array.
 
     Args:
         mesh: global device mesh.
-        x: this host's local slice of the batch (numpy), leading axis =
-            local batch.
+        x: this host's local slice of the batch (numpy); axis
+            ``batch_axis`` is the locally-sliced one.
         axis_name: mesh axis the global batch is sharded over.
+        batch_axis: which axis of ``x`` is the batch axis (0 for plain
+            batches; 1 for packed scan windows laid out (S, B, ...)).
 
     Returns:
-        Global jax.Array of shape (local_batch * num_processes, ...).
+        Global jax.Array whose ``batch_axis`` is local * num_processes.
     """
-    spec = P(axis_name, *([None] * (x.ndim - 1)))
+    spec = P(*([None] * batch_axis), axis_name,
+             *([None] * (x.ndim - batch_axis - 1)))
     sharding = NamedSharding(mesh, spec)
     return jax.make_array_from_process_local_data(sharding, np.asarray(x))

@@ -112,13 +112,6 @@ def main(argv=None):
     model, num_tasks = build_model(args.model)
     local_batch = args.batch_size
     if args.multihost:
-        if args.scan_window > 1:
-            raise SystemExit("--multihost does not support --scan-window "
-                             "(host batches are assembled per step)")
-        if args.eval_mode == "device":
-            raise SystemExit("--multihost does not support --eval-mode "
-                             "device (packed windows are put whole; use "
-                             "the exact host eval, which allgathers)")
         nproc = jax.process_count()
         if args.batch_size % nproc:
             raise SystemExit(f"--batch-size {args.batch_size} must divide "
@@ -240,9 +233,11 @@ def main(argv=None):
 
         # parse + pack + device_put run on the prefetch worker thread;
         # the loop thread only dispatches scans — steady state is
-        # max(host ingest, device window), not their sum
+        # max(host ingest, device window), not their sum.  put_packed_auto
+        # assembles per-process local windows on a pod slice, so the
+        # SAME production inner loop runs under --multihost.
         from rec_now_tpu.training.prefetch import WindowPrefetcher
-        with WindowPrefetcher(batches, trainer.put_packed_window,
+        with WindowPrefetcher(batches, trainer.put_packed_auto,
                               window) as wins:
             for dev_win, n_steps in wins:
                 state, mseq = trainer.train_many_packed(state, dev_win)

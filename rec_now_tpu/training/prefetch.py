@@ -89,6 +89,12 @@ class DevicePrefetcher:
                     break
                 threading.Event().wait(0.01)
         self._thread.join(timeout=5)
+        if self._thread.is_alive():
+            import logging
+            logging.getLogger(__name__).warning(
+                "prefetch worker %s did not exit within 5 s (likely "
+                "blocked in a device transfer); leaking daemon thread",
+                self._thread.name)
 
     def __enter__(self):
         return self
@@ -118,7 +124,12 @@ class WindowPrefetcher:
         put_window: ``trainer.put_packed_window`` (packs + transfers a
             list of host batches); runs on the worker thread.
         window: steps per window.
-        depth: windows staged ahead (2 = double buffering).
+        depth: windows staged ahead of the one being consumed.  The
+            default 1 is classic double buffering (one window staged /
+            in transfer + one training); each extra unit keeps another
+            whole transferred window device-resident, raising HBM
+            residency for no steady-state gain beyond hiding rare
+            producer hiccups (ADVICE r3).
         parse_ahead: stage the source iterator on its OWN thread too,
             so parse (C++ parser, GIL-released) and pack (numpy) run
             concurrently — two pipeline stages instead of one.  On a
@@ -127,7 +138,7 @@ class WindowPrefetcher:
     """
 
     def __init__(self, batches: Iterable, put_window: Callable,
-                 window: int, depth: int = 2, parse_ahead: bool = True):
+                 window: int, depth: int = 1, parse_ahead: bool = True):
         if window < 1:
             raise ValueError("window must be >= 1")
         self._parse_stage = None
@@ -153,9 +164,12 @@ class WindowPrefetcher:
         return iter(self._inner)
 
     def close(self) -> None:
-        self._inner.close()
+        # parse stage first: its _END sentinel unblocks the inner
+        # worker if it is mid-pull, so the inner join cannot race a
+        # still-consuming producer (ADVICE r3)
         if self._parse_stage is not None:
             self._parse_stage.close()
+        self._inner.close()
 
     def __enter__(self):
         return self

@@ -453,11 +453,18 @@ class Trainer:
     # -- packed wire path --------------------------------------------------
     @property
     def wire(self) -> WireFormat:
-        """Wire format bound to this trainer's feature layout."""
+        """Wire format bound to this trainer's feature layout.
+
+        ``num_shards`` = mesh size: the u8 dense affine is computed per
+        batch shard, so every PackedBatch field (scale included) is
+        batch-sharded — the invariant the multi-host assembly path
+        relies on.
+        """
         if getattr(self, "_wire", None) is None:
             self._wire = WireFormat(self.fc.num_sparse,
                                     self.fc.rows_per_field,
-                                    dense_mode=self.cfg.wire_dense_mode)
+                                    dense_mode=self.cfg.wire_dense_mode,
+                                    num_shards=self.mesh.size)
         return self._wire
 
     def put_packed_window(self, batches) -> PackedBatch:
@@ -469,18 +476,61 @@ class Trainer:
         with compute — the production double-buffering loop.
         """
         packed = self.wire.pack_window(batches)
-        repl = self.wire.replicated_fields()
 
-        def shard(name, x):
-            if name in repl:   # per-window metadata: replicate
-                spec = P()
-            else:
-                spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
+        def shard(x):
+            spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
             return jax.device_put(jnp.asarray(x),
                                   NamedSharding(self.mesh, spec))
-        return PackedBatch(*[shard(n, x)
-                             for n, x in zip(PackedBatch._fields,
-                                             packed)])
+        return PackedBatch(*[shard(x) for x in packed])
+
+    def put_packed_window_local(self, batches) -> PackedBatch:
+        """Multi-host twin of :meth:`put_packed_window`.
+
+        Each process packs only its LOCAL window (local batch = global
+        batch / process count) with the affine computed per local
+        device shard, then every field — all batch-sharded on axis 1,
+        ``dense_scale`` included — assembles into the global array via
+        ``jax.make_array_from_process_local_data``.  The in-batch group
+        remap is offset by ``process_index * local_batch`` so group ids
+        from different processes cannot collide in global in-batch
+        statistics (device-eval GAUC).  With one process this is
+        bit-identical to :meth:`put_packed_window` (tested).
+
+        This is what makes the production scan-window inner loop (and
+        the device-resident eval) run unchanged on a pod slice — the
+        boundary the reference delegated to its PS framework
+        (rec_now/rec_block/embedding_util.py:310).
+        """
+        from rec_now_tpu.parallel.multihost import put_local_batch
+        nproc = jax.process_count()
+        batches = list(batches)
+        local_b = int(np.asarray(batches[0].labels).shape[-1])
+        if local_b * nproc > 0x10000:
+            raise ValueError(
+                "uint16 group wire needs global batch <= 65536; "
+                f"got {local_b * nproc}")
+        if self.mesh.size % nproc or self.mesh.size < nproc:
+            raise ValueError(
+                f"mesh size {self.mesh.size} must be a multiple of the "
+                f"process count {nproc}")
+        local_shards = self.mesh.size // nproc
+        packed = self.wire.pack_window(batches, num_shards=local_shards)
+        if nproc > 1:
+            off = np.uint32(jax.process_index() * local_b)
+            packed = packed._replace(
+                group_ids=(packed.group_ids.astype(np.uint32)
+                           + off).astype(np.uint16))
+
+        def put(x):
+            return put_local_batch(self.mesh, np.asarray(x),
+                                   batch_axis=1)
+        return PackedBatch(*[put(x) for x in packed])
+
+    def put_packed_auto(self, batches) -> PackedBatch:
+        """:meth:`put_packed_window`, or the ``_local`` twin on a pod."""
+        if jax.process_count() > 1:
+            return self.put_packed_window_local(batches)
+        return self.put_packed_window(batches)
 
     def _build_train_many_packed(self):
         wire = self.wire
@@ -514,10 +564,10 @@ class Trainer:
         batches = list(host_batches)
         windows = [batches[i:i + window]
                    for i in range(0, len(batches), window)]
-        dev = self.put_packed_window(windows[0])
+        dev = self.put_packed_auto(windows[0])
         metrics_seq = None
         for i in range(len(windows)):
-            nxt = (self.put_packed_window(windows[i + 1])
+            nxt = (self.put_packed_auto(windows[i + 1])
                    if i + 1 < len(windows) else None)
             state, metrics_seq = self.train_many_packed(state, dev)
             dev = nxt
@@ -583,19 +633,29 @@ class Trainer:
     def _build_eval_many_packed(self, num_buckets: int):
         wire, multi = self.wire, self.cfg.num_tasks > 1
 
-        def many(state: TrainState, carry, packed: PackedBatch):
+        def many(state: TrainState, carry, packed: PackedBatch,
+                 step_w: jnp.ndarray):
             def body(carry, xs):
+                packed_step, sw = xs
                 hist, cvr_hist, win, total = carry
-                dense, ids, labels, groups, cvr, domain = wire.decode(xs)
+                dense, ids, labels, groups, cvr, domain = wire.decode(
+                    packed_step)
                 logits = self._eval_body(state, dense, ids, domain)
                 main = logits[0] if multi else logits
-                hist = DeviceStreamingAUC.accumulate(hist, labels, main)
+                # sw == 0 marks a window-padding step (repeats of the
+                # last real batch, added so every window has ONE shape
+                # and the scanned program never recompiles on a ragged
+                # tail); its examples must not count
+                ex_w = jnp.full(labels.shape, sw, jnp.float32)
+                hist = DeviceStreamingAUC.accumulate(hist, labels, main,
+                                                     weights=ex_w)
                 w, t = batch_gauc_stats(labels, main, groups)
                 if multi:
                     cvr_hist = DeviceStreamingAUC.accumulate(
-                        cvr_hist, cvr, logits[1])
-                return (hist, cvr_hist, win + w, total + t), ()
-            carry, _ = jax.lax.scan(body, carry, packed)
+                        cvr_hist, cvr, logits[1], weights=ex_w)
+                return (hist, cvr_hist, win + sw * w,
+                        total + sw * t), ()
+            carry, _ = jax.lax.scan(body, carry, (packed, step_w))
             return carry
         return jax.jit(many)
 
@@ -629,17 +689,26 @@ class Trainer:
                 num_buckets)
             self._eval_buckets = num_buckets
         batches = list(batches)
+        # pad the ragged tail with zero-weight repeats of the last
+        # batch: every window then has ONE (window, batch) shape and
+        # the scanned program compiles exactly once per sweep shape
+        n_real = len(batches)
+        n_pad = -n_real % window
+        batches = batches + [batches[-1]] * n_pad
         windows = [batches[i:i + window]
                    for i in range(0, len(batches), window)]
-        if len(windows) > 1 and len(windows[-1]) != window:
-            windows[-2].extend(windows.pop())   # one ragged tail at most
+        step_ws = [np.ones((window,), np.float32)
+                   for _ in range(len(windows))]
+        if n_pad:
+            step_ws[-1][window - n_pad:] = 0.0
         hist = jnp.zeros((2, num_buckets), jnp.float32)
         carry = (hist, hist, jnp.zeros(()), jnp.zeros(()))
-        dev = self.put_packed_window(windows[0])
+        dev = self.put_packed_auto(windows[0])
         for i in range(len(windows)):
-            nxt = (self.put_packed_window(windows[i + 1])
+            nxt = (self.put_packed_auto(windows[i + 1])
                    if i + 1 < len(windows) else None)
-            carry = self._eval_many_packed(state, carry, dev)
+            carry = self._eval_many_packed(state, carry, dev,
+                                           jnp.asarray(step_ws[i]))
             dev = nxt
         hist, cvr_hist, win, total = jax.device_get(carry)
         result = {

@@ -12,7 +12,9 @@ inside the jitted step (a few cheap shifts — VPU noise):
     only as many words as the packing actually touches;
   * dense:       float16 (post-log1p features span ~[-20, 20] with ~1e-3
     resolution — far inside f16 range), or optional uint8 with a
-    per-window per-feature affine (``dense_mode='u8'``);
+    per-window per-batch-shard per-feature affine (``dense_mode='u8'``;
+    the per-shard granularity makes the scale array batch-shardable —
+    multi-host assembly needs no replicated metadata);
   * flags:       labels (bit 0), cvr labels (bit 1) and the domain
     index (bits 2-7, < 64 domains) share ONE uint8;
   * group ids:   remapped per batch to first-occurrence in-batch
@@ -31,7 +33,7 @@ the packed form is also what crosses the PCIe/tunnel link.
 from __future__ import annotations
 
 import math
-from typing import NamedTuple, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -42,15 +44,20 @@ from rec_now_tpu.training.data import Batch
 class PackedBatch(NamedTuple):
     """Host-side packed batch (numpy); leading axes preserved.
 
-    ``dense_scale`` is (..., 2, num_dense) f32 (offset, step) when
-    ``dense_mode='u8'``; a (..., 2, num_dense) zeros placeholder under
-    f16 (kept shape-stable so the jitted decode signature is fixed).
+    ``dense_scale`` is (..., num_shards, 2, num_dense) f32
+    (offset, step) when ``dense_mode='u8'`` — the affine is computed
+    per *batch shard* (contiguous batch chunk), so the axis aligns with
+    the device data axis and every PackedBatch field is batch-sharded;
+    on a pod slice each process contributes its local shards'
+    affines through ``jax.make_array_from_process_local_data`` with no
+    cross-host coordination.  Under f16 it is a zeros placeholder of
+    the same shape (shape-stable jitted decode signature).
     """
-    dense: np.ndarray       # (..., num_dense) float16 | uint8
-    dense_scale: np.ndarray  # (..., 2, num_dense) f32 affine (u8 mode)
-    id_words: np.ndarray    # (..., num_words) uint32 bit-packed ids
-    group_ids: np.ndarray   # (...,) uint16 in-batch remapped groups
-    flags: np.ndarray       # (...,) uint8: label | cvr<<1 | domain<<2
+    dense: np.ndarray       # (..., B, num_dense) float16 | uint8
+    dense_scale: np.ndarray  # (..., shards, 2, num_dense) f32 affine
+    id_words: np.ndarray    # (..., B, num_words) uint32 bit-packed ids
+    group_ids: np.ndarray   # (..., B) uint16 in-batch remapped groups
+    flags: np.ndarray       # (..., B) uint8: label | cvr<<1 | domain<<2
 
 
 def id_bits(rows_per_field: int) -> int:
@@ -139,37 +146,64 @@ class WireFormat:
         num_sparse: sparse fields per example.
         rows_per_field: id space per field (sets bits/id).
         dense_mode: 'f16' (default, lossless to ~1e-3) or 'u8'
-            (per-window per-feature affine quantization — step =
-            range/255, far below the gradient-noise floor for log1p
-            count features; opt-in).
+            (per-window per-batch-shard per-feature affine
+            quantization — step = range/255, far below the
+            gradient-noise floor for log1p count features; opt-in).
+        num_shards: batch shards the u8 affine is computed over
+            (= devices on the data axis).  Each contiguous batch chunk
+            of B/num_shards rows gets its own (offset, step), so the
+            scale array is batch-shardable like every other field —
+            the property that makes the packed wire assemblable from
+            per-process local data on a pod slice (Trainer.
+            put_packed_window_local).  Tighter per-shard ranges also
+            strictly reduce quantization error vs the whole-batch
+            affine.
     """
 
     def __init__(self, num_sparse: int, rows_per_field: int,
-                 dense_mode: str = "f16"):
+                 dense_mode: str = "f16", num_shards: int = 1):
         if dense_mode not in ("f16", "u8"):
             raise ValueError(f"unknown dense_mode {dense_mode!r}")
+        if num_shards < 1:
+            raise ValueError(f"num_shards must be >= 1, got {num_shards}")
         self.num_sparse = num_sparse
         self.bits = id_bits(rows_per_field)
         self.words = num_words(num_sparse, self.bits)
         self.dense_mode = dense_mode
+        self.num_shards = num_shards
 
-    def _pack_dense(self, dense: np.ndarray):
-        """-> (packed dense, (..., 2, F) f32 scale) for the layout."""
+    def _pack_dense(self, dense: np.ndarray, shards: int):
+        """-> (packed dense, (..., shards, 2, F) f32 scale)."""
+        b, f = dense.shape[-2], dense.shape[-1]
+        if b % shards:
+            raise ValueError(
+                f"batch {b} must divide by num_shards {shards}")
         if self.dense_mode == "f16":
-            scale = np.zeros(dense.shape[:-2] + (2,) + dense.shape[-1:],
+            scale = np.zeros(dense.shape[:-2] + (shards, 2, f),
                              np.float32)
             return dense.astype(np.float16), scale
-        lo = dense.min(axis=-2)                          # (..., F)
-        hi = dense.max(axis=-2)
+        chunked = dense.reshape(dense.shape[:-2]
+                                + (shards, b // shards, f))
+        lo = chunked.min(axis=-2)                    # (..., shards, F)
+        hi = chunked.max(axis=-2)
         step = (hi - lo) / 255.0
-        q = np.rint((dense - lo[..., None, :])
+        q = np.rint((chunked - lo[..., None, :])
                     / np.where(step > 0, step, 1.0)[..., None, :])
         scale = np.stack([lo, step], axis=-2).astype(np.float32)
-        return q.astype(np.uint8), scale
+        return q.astype(np.uint8).reshape(dense.shape), scale
 
-    def pack(self, batch: Batch) -> PackedBatch:
-        """Compress one host batch (arbitrary leading axes)."""
-        d, scale = self._pack_dense(batch.dense)
+    def pack(self, batch: Batch,
+             num_shards: Optional[int] = None) -> PackedBatch:
+        """Compress one host batch (arbitrary leading axes).
+
+        Args:
+            batch: host batch.
+            num_shards: override the affine shard count (a pod-slice
+                process packing its LOCAL rows passes its local device
+                count; decode always uses the instance's global count).
+        """
+        shards = self.num_shards if num_shards is None else num_shards
+        d, scale = self._pack_dense(batch.dense, shards)
         return PackedBatch(
             dense=d, dense_scale=scale,
             id_words=pack_ids(batch.sparse_ids, self.bits),
@@ -177,10 +211,12 @@ class WireFormat:
             flags=_pack_flags(batch.labels, batch.cvr_labels,
                               batch.domain_idx))
 
-    def pack_window(self, batches: Sequence[Batch]) -> PackedBatch:
+    def pack_window(self, batches: Sequence[Batch],
+                    num_shards: Optional[int] = None) -> PackedBatch:
         """Stack + compress a window of identically-shaped batches."""
+        shards = self.num_shards if num_shards is None else num_shards
         d, scale = self._pack_dense(
-            np.stack([b.dense for b in batches]))
+            np.stack([b.dense for b in batches]), shards)
         return PackedBatch(
             dense=d, dense_scale=scale,
             id_words=pack_ids(
@@ -198,10 +234,15 @@ class WireFormat:
         """Device-side decode -> (dense f32, ids i32, labels f32,
         groups i32, cvr f32, domain i32).  Traced inside jit."""
         if self.dense_mode == "u8":
-            lo = packed.dense_scale[..., 0, :]
+            n = packed.dense_scale.shape[-3]
+            b, f = packed.dense.shape[-2], packed.dense.shape[-1]
+            q = packed.dense.reshape(
+                packed.dense.shape[:-2] + (n, b // n, f))
+            lo = packed.dense_scale[..., 0, :]       # (..., n, F)
             step = packed.dense_scale[..., 1, :]
-            dense = (packed.dense.astype(jnp.float32)
-                     * step[..., None, :] + lo[..., None, :])
+            dense = (q.astype(jnp.float32)
+                     * step[..., :, None, :] + lo[..., :, None, :])
+            dense = dense.reshape(packed.dense.shape)
         else:
             dense = packed.dense.astype(jnp.float32)
         ids = unpack_ids(packed.id_words, self.num_sparse, self.bits)
@@ -212,15 +253,6 @@ class WireFormat:
         domain = (flags >> jnp.uint8(2)).astype(jnp.int32)
         groups = packed.group_ids.astype(jnp.int32)
         return dense, ids, labels, groups, cvr, domain
-
-    @staticmethod
-    def replicated_fields() -> Tuple[str, ...]:
-        """PackedBatch fields that must NOT be batch-sharded.
-
-        ``dense_scale`` is (..., 2, F) per-window metadata; sharding its
-        size-2 axis over the data axis would be wrong — replicate it.
-        """
-        return ("dense_scale",)
 
     @staticmethod
     def wire_cost(num_dense: int, num_sparse: int,

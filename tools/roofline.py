@@ -5,7 +5,9 @@ config pays ~19 ms/step; config #1's FM compute is trivial, so nearly
 all of its step is lookup + table update + wire) into scan-amortized
 component times, and compares each against this rig's measured ceilings:
 
-* HBM stream:   ~108 GB/s (measured, BASELINE.md)
+* HBM stream:   ~344 GB/s (measured at 256-512 MB working sets,
+  tools/micro_hbm.py — the r1 108 GB/s figure was dispatch-dominated;
+  BASELINE.md "HBM ceiling correction")
 * host->device: ~87 MB/s axon tunnel
 
 Each component runs as a STEPS-long on-device ``lax.scan`` so per-call
@@ -25,7 +27,7 @@ import numpy as np
 B, F, D = 8192, 26, 16
 V = 26 * 100_000
 STEPS = 20
-HBM_GBPS = 108.0
+HBM_GBPS = 344.0
 WIRE_MBPS = 87.0
 
 RESULTS = []
@@ -81,10 +83,14 @@ def main():
     # LICM hoists the whole computation out of the scan, measuring
     # nothing (symptom: "faster than the HBM floor").  The carried
     # scalar `s` provides the data dependence; its runtime value is
-    # irrelevant (ids + s%1 == ids numerically, but XLA cannot know).
+    # irrelevant, but the dependence must be one XLA cannot fold away
+    # statically: `s % 1` simplifies to constant 0 in the algebraic
+    # simplifier (ADVICE r3), re-hoisting the gather.  min(s, 0) == 0
+    # at runtime (s >= 0) yet is unprovable at compile time — same
+    # trick as the float `+ s * 1e-30` used below.
     def lookup_probe(c):
         s = c[1]
-        ids_i = ids + s.astype(jnp.int32) % 1
+        ids_i = ids + jnp.minimum(s.astype(jnp.int32), 0)
         return (c[0], s + jnp.sum(table.lookup(c[0], ids_i)) * 1e-20)
     timeit("lookup (gather 213k packed lines)",
            lookup_probe, (st, jnp.zeros(())),
