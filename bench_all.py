@@ -10,6 +10,15 @@ Configs:
 Each entry reports steady-state examples/s/chip of the full train step.
 ``python bench.py`` remains the single-line flagship bench; this script
 is the wide sweep.
+
+Timed runs are INTERLEAVED round-robin across the configs (VERDICT r3
+#4): the axon tunnel's rate swings 2-4x on minute scales, so benching
+each config in its own contiguous block let one bad weather window
+invert the cross-config ordering (r3's committed artifact had trivial
+FM slower than DCN-v2).  Round-robin spreads every config's samples
+over the same weather; a spread gate then re-runs rounds (up to
+EXTRA_ROUNDS) while any config's (max-min) exceeds SPREAD_FRAC of its
+best, and the per-config best/median come from the pooled samples.
 """
 from __future__ import annotations
 
@@ -21,52 +30,67 @@ BATCH = int(os.environ.get("BENCH_BATCH", 8192))
 STEPS = int(os.environ.get("BENCH_STEPS", 50))
 WINDOW = int(os.environ.get("BENCH_WINDOW", 5))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+EXTRA_ROUNDS = int(os.environ.get("BENCH_EXTRA_ROUNDS", 4))
+SPREAD_FRAC = float(os.environ.get("BENCH_SPREAD_FRAC", 0.15))
 
 
-def bench_one(name, model, cfg, rows_per_field=100_000):
-    import jax
-    import numpy as np
-    from rec_now_tpu.models import FeatureConfig
-    from rec_now_tpu.parallel import make_mesh
-    from rec_now_tpu.training import SyntheticCriteo, Trainer
+class ConfigBench:
+    """One config's trainer + data, prepared once, timed many times."""
 
-    num_devices = len(jax.devices())
-    mesh = make_mesh(num_devices)
-    fc = FeatureConfig(rows_per_field=rows_per_field, embedding_dim=16)
-    trainer = Trainer(model, fc, cfg, mesh=mesh)
-    data = SyntheticCriteo(rows_per_field=rows_per_field,
-                           num_users=50_000)
-    # pipelined windows (transfer/compute overlap), fetch-forced timing
-    # -- block_until_ready on donated buffers is unreliable over the
-    # axon tunnel (BASELINE.md)
-    host_batches = list(data.batches(BATCH, STEPS, seed=1))
-    state = trainer.init(jax.random.PRNGKey(0),
-                         data.sample(BATCH, np.random.RandomState(0)))
-    state, mseq = trainer.train_pipelined(
-        state, data.batches(BATCH, WINDOW, seed=2), window=WINDOW)
-    float(mseq["loss"][-1])
-    # several timed runs: headline = MIN (the tunnel's rate swings 3x
-    # between runs — see bench.py); median + spread reported alongside
-    # so round-over-round deltas are distinguishable from noise
-    dts = []
-    for _ in range(max(1, REPEATS)):
-        t0 = time.perf_counter()
-        state, mseq = trainer.train_pipelined(state, host_batches,
-                                              window=WINDOW)
+    def __init__(self, name, model, cfg, rows_per_field=100_000):
+        import jax
+        import numpy as np
+        from rec_now_tpu.models import FeatureConfig
+        from rec_now_tpu.parallel import make_mesh
+        from rec_now_tpu.training import SyntheticCriteo, Trainer
+
+        self.name = name
+        self.num_devices = len(jax.devices())
+        mesh = make_mesh(self.num_devices)
+        fc = FeatureConfig(rows_per_field=rows_per_field,
+                           embedding_dim=16)
+        self.trainer = Trainer(model, fc, cfg, mesh=mesh)
+        data = SyntheticCriteo(rows_per_field=rows_per_field,
+                               num_users=50_000)
+        self.host_batches = list(data.batches(BATCH, STEPS, seed=1))
+        self.state = self.trainer.init(
+            jax.random.PRNGKey(0), data.sample(BATCH,
+                                               np.random.RandomState(0)))
+        self.warm_batches = list(data.batches(BATCH, WINDOW, seed=2))
+        self.dts = []
+        self.loss = float("nan")
+
+    def warmup(self):
+        self.state, mseq = self.trainer.train_pipelined(
+            self.state, self.warm_batches, window=WINDOW)
         float(mseq["loss"][-1])
-        dts.append((time.perf_counter() - t0) / STEPS)
-    dts.sort()
-    dt = dts[0]
-    return {
-        "config": name,
-        "examples_per_sec_per_chip": round(BATCH / dt / num_devices, 1),
-        "step_ms": round(dt * 1e3, 3),
-        "step_ms_median": round(dts[len(dts) // 2] * 1e3, 3),
-        "step_ms_spread": round((dts[-1] - dts[0]) * 1e3, 3),
-        "runs": len(dts),
-        "steps_per_run": STEPS,
-        "loss": round(float(mseq["loss"][-1]), 4),
-    }
+
+    def timed_run(self):
+        # fetch-forced timing — block_until_ready on donated buffers is
+        # unreliable over the axon tunnel (BASELINE.md)
+        t0 = time.perf_counter()
+        self.state, mseq = self.trainer.train_pipelined(
+            self.state, self.host_batches, window=WINDOW)
+        self.loss = float(mseq["loss"][-1])
+        self.dts.append((time.perf_counter() - t0) / STEPS)
+
+    def spread_ok(self):
+        return (max(self.dts) - min(self.dts)) <= SPREAD_FRAC * min(self.dts)
+
+    def result(self):
+        dts = sorted(self.dts)
+        dt = dts[0]
+        return {
+            "config": self.name,
+            "examples_per_sec_per_chip":
+                round(BATCH / dt / self.num_devices, 1),
+            "step_ms": round(dt * 1e3, 3),
+            "step_ms_median": round(dts[len(dts) // 2] * 1e3, 3),
+            "step_ms_spread": round((dts[-1] - dts[0]) * 1e3, 3),
+            "runs": len(dts),
+            "steps_per_run": STEPS,
+            "loss": round(self.loss, 4),
+        }
 
 
 def main():
@@ -96,7 +120,7 @@ def main():
                   TrainerConfig(pointwise_weight=1.0, pairwise_weight=0.5,
                                 can_param_field=8, can_dnn_dims=(16,)))),
     ]
-    results = []
+    benches = []
     for i, (name, make) in enumerate(specs, start=1):
         if only and i not in only:
             continue
@@ -107,10 +131,34 @@ def main():
         cfg = dataclasses.replace(
             cfg, wire_dense_mode=os.environ.get(
                 'BENCH_WIRE_DENSE', 'u8'))
-        results.append(bench_one(name, model, cfg))
+        b = ConfigBench(name, model, cfg)
+        b.warmup()
+        print(f"warm: {name}", flush=True)
+        benches.append(b)
+
+    # interleaved rounds: every config samples every weather window
+    for r in range(max(1, REPEATS)):
+        for b in benches:
+            b.timed_run()
+        print(f"round {r + 1}: " + "  ".join(
+            f"[{b.name.split(':')[0]}] {b.dts[-1] * 1e3:.1f}ms"
+            for b in benches), flush=True)
+    # spread gate: more full rounds while any config is noisy (keeps
+    # the samples interleaved rather than re-running one config alone)
+    extra = 0
+    while (extra < EXTRA_ROUNDS
+           and any(not b.spread_ok() for b in benches)):
+        extra += 1
+        for b in benches:
+            b.timed_run()
+        print(f"extra round {extra} (spread gate): " + "  ".join(
+            f"[{b.name.split(':')[0]}] {b.dts[-1] * 1e3:.1f}ms"
+            for b in benches), flush=True)
 
     import jax
+    results = [b.result() for b in benches]
     out = {"batch": BATCH, "devices": len(jax.devices()),
+           "interleaved": True, "extra_rounds": extra,
            "results": results}
     print(json.dumps(out, indent=2))
     if not only:

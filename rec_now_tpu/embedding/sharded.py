@@ -390,6 +390,13 @@ class ShardedEmbeddingTable:
                 callers pass False (routing pre-sums duplicates).
         """
         axis, n = self.axis_name, self.num_shards
+        if n == 1:
+            # single shard owns everything: the allgather/mask/psum
+            # machinery is all no-ops semantically but NOT free (the
+            # mask multiply + where stream ~13 MB each at the bench
+            # shape) — skip it (tools/probe_fused_update.py r4)
+            return (jnp.ones(flat_ids_local.shape, bool),
+                    flat_ids_local, flat_grads_local)
         my = jax.lax.axis_index(axis)
         if routed is None:
             routed = self.route_mode == "routed"
@@ -483,6 +490,9 @@ class ShardedEmbeddingTable:
 
     def _lookup_ag_body(self, table_local, flat_ids_local):
         n, axis = self.num_shards, self.axis_name
+        if n == 1:
+            # single shard: direct gather, no collective/mask overhead
+            return self._fetch_rows(table_local, flat_ids_local)
         my = jax.lax.axis_index(axis)
         all_ids = jax.lax.all_gather(flat_ids_local, axis,
                                      tiled=True)       # (B,)

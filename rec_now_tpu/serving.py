@@ -6,10 +6,23 @@ runtime).  Builds a jitted scorer closure over a trained
 model forward, no optimizer state touched, donation-free (state is
 shared with training or restored from checkpoint).
 
+Two front ends:
+
+* :func:`build_scorer` — raw f32/i32 inputs (simple integrations);
+* :class:`WireScorer` — requests cross the host->HBM link in the SAME
+  compressed wire the training loop uses (bit-packed ids + f16/u8
+  dense, minus labels/groups/flags — training/wire.py), decoded inside
+  the jitted scorer.  At serving batch sizes the link is the dominant
+  latency term exactly as in training, so the ~2.3x byte cut carries
+  over (numbers in BASELINE.md "Serving").
+
 Example:
     scorer = build_scorer(trainer)
     logits = scorer(state, dense, sparse_ids)        # (B,) logits
     probs = jax.nn.sigmoid(logits)
+
+    ws = WireScorer(trainer)
+    logits = ws(state, dense, sparse_ids)            # packs + scores
 """
 from __future__ import annotations
 
@@ -17,6 +30,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def build_scorer(trainer) -> Callable:
@@ -46,6 +60,63 @@ def build_scorer(trainer) -> Callable:
         return model.apply(state.params, dense, emb)
 
     return scorer
+
+
+class WireScorer:
+    """Score through the compressed request wire.
+
+    Packs (dense, sparse_ids) host-side with the training wire's
+    encoders (bit-packed ids; f16 or per-request-affine u8 dense) and
+    decodes inside the jitted forward — the request moves
+    ``13 * d + words * 4`` bytes/example instead of 156 raw
+    (85 -> 38/25 B/example at the standard layout).
+
+    Args:
+        trainer: a :class:`rec_now_tpu.training.Trainer`.
+        dense_mode: 'f16' (default) or 'u8' (per-request affine —
+            scoring-side quantization; AUC-neutral at training, see
+            BASELINE.md).
+
+    Call: ``scorer(state, dense, sparse_ids) -> logits`` ((B,) or
+    (T, B)); ``pack`` / ``score_packed`` expose the two halves for
+    pipelined serving loops.
+    """
+
+    def __init__(self, trainer, dense_mode: str = "f16"):
+        from rec_now_tpu.training.wire import WireFormat
+        fc, cfg = trainer.fc, trainer.cfg
+        self.wire = WireFormat(fc.num_sparse, fc.rows_per_field,
+                               dense_mode=dense_mode, num_shards=1)
+        wire = self.wire
+        table, can_table = trainer.table, trainer.can_table
+        model = trainer.model
+
+        @jax.jit
+        def score_packed(state, qdense, dense_scale, id_words):
+            dense = wire.decode_dense(qdense, dense_scale)
+            from rec_now_tpu.training.wire import unpack_ids
+            sparse_ids = unpack_ids(id_words, wire.num_sparse,
+                                    wire.bits)
+            gids = fc.global_ids(sparse_ids)
+            emb = table.lookup(state.table, gids)
+            if can_table is not None:
+                can_ids = (sparse_ids[:, cfg.can_param_field]
+                           % fc.rows_per_field)
+                can_emb = can_table.lookup(state.can_table, can_ids)
+                return model.apply(state.params, dense, emb, can_emb)
+            return model.apply(state.params, dense, emb)
+
+        self.score_packed = score_packed
+
+    def pack(self, dense: np.ndarray, sparse_ids: np.ndarray):
+        """Host-side request packing -> (qdense, scale, id_words)."""
+        from rec_now_tpu.training.wire import pack_ids
+        q, scale = self.wire._pack_dense(np.asarray(dense), 1)
+        words = pack_ids(np.asarray(sparse_ids), self.wire.bits)
+        return q, scale, words
+
+    def __call__(self, state, dense, sparse_ids) -> jnp.ndarray:
+        return self.score_packed(state, *self.pack(dense, sparse_ids))
 
 
 def export_table_rows(state, table, ids: jnp.ndarray) -> jnp.ndarray:

@@ -12,6 +12,7 @@ Models: fm | dcnv2 | xdeepfm | multitask (the four benchmark families).
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -73,9 +74,16 @@ def main(argv=None):
                    default="exact",
                    help="exact: host-side sorted AUC + corpus GAUC "
                         "(the oracle); device: scanned on-device "
-                        "bucketed AUC + in-batch GAUC -- no "
-                        "per-example host traffic, use for wide "
-                        "held-out sweeps")
+                        "bucketed AUC + corpus GAUC from per-group "
+                        "score histograms -- no per-example host "
+                        "traffic, use for wide held-out sweeps")
+    p.add_argument("--eval-group-slots", type=int, default=8192,
+                   help="device-eval corpus-GAUC group slots; grouping "
+                        "is exact while distinct eval groups < "
+                        "slots - slots/8 (raise for wide id spaces)")
+    p.add_argument("--eval-group-buckets", type=int, default=512,
+                   help="device-eval per-group score buckets (GAUC "
+                        "tie error ~ O(1/buckets))")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
     p.add_argument("--log-every", type=int, default=50)
@@ -191,8 +199,13 @@ def main(argv=None):
     state = trainer.init(jax.random.PRNGKey(args.seed), first)
 
     def run_eval(step):
-        eval_fn = (trainer.evaluate_device if args.eval_mode == "device"
-                   else trainer.evaluate)
+        if args.eval_mode == "device":
+            eval_fn = functools.partial(
+                trainer.evaluate_device,
+                num_group_slots=args.eval_group_slots,
+                group_buckets=args.eval_group_buckets)
+        else:
+            eval_fn = trainer.evaluate
         res = eval_fn(
             state, make_eval_batches(args.eval_batches, args.seed + 999))
         line = {"step": step, "eval": res,

@@ -178,6 +178,130 @@ def _jit_accumulate(hist, labels, logits, weights):
     return DeviceStreamingAUC.accumulate(hist, labels, logits, weights)
 
 
+class DeviceGroupedAUC:
+    """Device-side CORPUS-level GAUC via per-group score histograms.
+
+    The reference's flagship online metric is corpus GAUC — per-group
+    AUC over groups that span batches (README.md:5 credits the in-batch
+    pairwise loss with >1% of it).  The exact host path
+    (:class:`StreamingGAUC`) streams every (group, label, score) triple
+    off the device; this accumulator instead keeps a
+    ``(2, num_groups, num_buckets)`` positive/negative score-bucket
+    histogram ON DEVICE, indexed by a host-assigned dense corpus group
+    slot (see ``Trainer.evaluate_device``): ``accumulate`` is two
+    segment-sums over ``slot * K + bucket`` flat indices, threads
+    through a ``lax.scan`` eval loop, and the host fetches O(G * K)
+    floats once at the end.
+
+    Per-group AUC from its (2, K) histogram has the same O(1/K) tie
+    error as :class:`DeviceStreamingAUC` — < 1e-3 at K=512 against the
+    exact host GAUC (tested).  Groups beyond ``num_groups`` clamp into
+    the last slot (surfaced via ``overflow`` by the caller).
+    """
+
+    @staticmethod
+    def init(num_groups: int, num_buckets: int) -> jnp.ndarray:
+        return jnp.zeros((2, num_groups * num_buckets), jnp.float32)
+
+    @staticmethod
+    def accumulate(ghist: jnp.ndarray, slots: jnp.ndarray,
+                   labels: jnp.ndarray, logits: jnp.ndarray,
+                   num_buckets: int,
+                   weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """Pure update: add one batch (jit-safe, scan-friendly).
+
+        Args:
+            ghist: (2, G * K) running histogram.
+            slots: (B,) int corpus group slots in [0, G).
+            labels: (B,) 0/1.
+            logits: (B,) scores.
+            num_buckets: K (static).
+            weights: optional (B,) example weights (0 = ignore).
+        """
+        k = num_buckets
+        g = ghist.shape[1] // k
+        labels = jnp.reshape(labels, (-1,)).astype(jnp.float32)
+        logits = jnp.reshape(logits, (-1,))
+        slots = jnp.clip(jnp.reshape(slots, (-1,)).astype(jnp.int32),
+                         0, g - 1)
+        w = (jnp.ones_like(labels) if weights is None
+             else jnp.reshape(weights, (-1,)).astype(jnp.float32))
+        p = jax.nn.sigmoid(logits.astype(jnp.float32))
+        b = jnp.clip((p * k).astype(jnp.int32), 0, k - 1)
+        flat = slots * k + b
+        pos = jax.ops.segment_sum(w * labels, flat, num_segments=g * k)
+        neg = jax.ops.segment_sum(w * (1.0 - labels), flat,
+                                  num_segments=g * k)
+        return ghist + jnp.stack([pos, neg])
+
+    @staticmethod
+    def gauc_from_hist(ghist: np.ndarray, num_buckets: int,
+                       weight_by: str = "pairs") -> Dict[str, float]:
+        """Host-side finish: pair- (or impression-) weighted mean of
+        per-group bucketed AUCs, vectorized over groups (O(G * K))."""
+        k = num_buckets
+        h = np.asarray(ghist, np.float64).reshape(2, -1, k)  # (2, G, K)
+        pos, neg = h[0], h[1]
+        neg_below = np.cumsum(neg, axis=1) - neg             # (G, K)
+        u = np.sum(pos * (neg_below + 0.5 * neg), axis=1)    # (G,)
+        n_pos = pos.sum(axis=1)
+        n_neg = neg.sum(axis=1)
+        denom = n_pos * n_neg
+        valid = denom > 0
+        auc_g = np.where(valid, u / np.where(valid, denom, 1.0), 0.0)
+        w = denom if weight_by == "pairs" else n_pos + n_neg
+        w = np.where(valid, w, 0.0)
+        total_w = w.sum()
+        return {
+            "gauc": float((w * auc_g).sum() / total_w)
+            if total_w > 0 else float("nan"),
+            "num_groups": float(valid.sum()),
+        }
+
+
+class CorpusGroupIndexer:
+    """Host-side group-id -> dense corpus slot mapping for device GAUC.
+
+    Single-process: a dict assigns each distinct group id the next
+    dense index — EXACT grouping while the corpus has fewer than
+    ``num_slots`` groups; overflow groups fold into the hash space of
+    the last ``num_slots // 8`` slots (surfaced via ``overflowed``).
+
+    Multi-process: a dict would be process-local and inconsistent, so
+    every process uses the same salted multiplicative hash — grouping
+    is consistent everywhere with birthday-bound collisions
+    (E[colliding groups] ~ n_groups^2 / (2 * num_slots)).
+    """
+
+    def __init__(self, num_slots: int, use_hash: bool = False):
+        self.num_slots = int(num_slots)
+        self.use_hash = bool(use_hash)
+        self._map: Dict[int, int] = {}
+        self.overflowed = 0
+
+    def assign(self, group_ids: np.ndarray) -> np.ndarray:
+        """(B,) raw group ids -> (B,) dense slots in [0, num_slots)."""
+        g = np.asarray(group_ids).reshape(-1)
+        if self.use_hash:
+            h = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                 + np.uint64(0xD6E8FEB8)) >> np.uint64(13)
+            return (h % np.uint64(self.num_slots)).astype(np.int64)
+        cap = self.num_slots - max(1, self.num_slots // 8)
+        uniq, inv = np.unique(g, return_inverse=True)
+        slots = np.empty(uniq.shape, np.int64)
+        for i, gid in enumerate(uniq.tolist()):
+            slot = self._map.get(gid)
+            if slot is None:
+                if len(self._map) < cap:
+                    slot = len(self._map)
+                else:   # overflow: hash into the reserved tail slots
+                    self.overflowed += 1
+                    slot = cap + hash(gid) % (self.num_slots - cap)
+                self._map[gid] = slot
+            slots[i] = slot
+        return slots[inv]
+
+
 class StreamingGAUC:
     """Host-side exact GAUC over an eval stream.
 

@@ -40,7 +40,9 @@ from rec_now_tpu.losses.pointwise import sigmoid_cross_entropy_with_logits
 from rec_now_tpu.models.feature_config import FeatureConfig
 from rec_now_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from rec_now_tpu.training.data import Batch
-from rec_now_tpu.training.metrics import (DeviceStreamingAUC,
+from rec_now_tpu.training.metrics import (CorpusGroupIndexer,
+                                          DeviceGroupedAUC,
+                                          DeviceStreamingAUC,
                                           StreamingGAUC,
                                           batch_gauc_stats)
 from rec_now_tpu.training.wire import PackedBatch, WireFormat
@@ -467,15 +469,19 @@ class Trainer:
                                     num_shards=self.mesh.size)
         return self._wire
 
-    def put_packed_window(self, batches) -> PackedBatch:
+    def put_packed_window(self, batches,
+                          raw_groups: bool = False) -> PackedBatch:
         """Compress a window of host batches and start its transfer.
 
         Packing is vectorized numpy; ``jax.device_put`` dispatches the
         (much smaller) transfer asynchronously, so calling this for
         window k+1 right after dispatching window k overlaps the wire
         with compute — the production double-buffering loop.
+
+        ``raw_groups`` ships group ids unremapped (pre-mapped corpus
+        slots; the device-GAUC eval path).
         """
-        packed = self.wire.pack_window(batches)
+        packed = self.wire.pack_window(batches, raw_groups=raw_groups)
 
         def shard(x):
             spec = P(None, DATA_AXIS, *([None] * (x.ndim - 2)))
@@ -483,7 +489,8 @@ class Trainer:
                                   NamedSharding(self.mesh, spec))
         return PackedBatch(*[shard(x) for x in packed])
 
-    def put_packed_window_local(self, batches) -> PackedBatch:
+    def put_packed_window_local(self, batches,
+                                raw_groups: bool = False) -> PackedBatch:
         """Multi-host twin of :meth:`put_packed_window`.
 
         Each process packs only its LOCAL window (local batch = global
@@ -514,8 +521,12 @@ class Trainer:
                 f"mesh size {self.mesh.size} must be a multiple of the "
                 f"process count {nproc}")
         local_shards = self.mesh.size // nproc
-        packed = self.wire.pack_window(batches, num_shards=local_shards)
-        if nproc > 1:
+        packed = self.wire.pack_window(batches, num_shards=local_shards,
+                                       raw_groups=raw_groups)
+        if nproc > 1 and not raw_groups:
+            # raw (corpus-slot) groups are already globally consistent
+            # (hash-assigned on a pod); only the per-batch remap needs
+            # the per-process de-collision offset
             off = np.uint32(jax.process_index() * local_b)
             packed = packed._replace(
                 group_ids=(packed.group_ids.astype(np.uint32)
@@ -526,11 +537,13 @@ class Trainer:
                                    batch_axis=1)
         return PackedBatch(*[put(x) for x in packed])
 
-    def put_packed_auto(self, batches) -> PackedBatch:
+    def put_packed_auto(self, batches,
+                        raw_groups: bool = False) -> PackedBatch:
         """:meth:`put_packed_window`, or the ``_local`` twin on a pod."""
         if jax.process_count() > 1:
-            return self.put_packed_window_local(batches)
-        return self.put_packed_window(batches)
+            return self.put_packed_window_local(batches,
+                                                raw_groups=raw_groups)
+        return self.put_packed_window(batches, raw_groups=raw_groups)
 
     def _build_train_many_packed(self):
         wire = self.wire
@@ -630,14 +643,16 @@ class Trainer:
         return result
 
     # -- device-resident eval ----------------------------------------------
-    def _build_eval_many_packed(self, num_buckets: int):
+    def _build_eval_many_packed(self, num_buckets: int,
+                                gauc_mode: str, group_buckets: int):
         wire, multi = self.wire, self.cfg.num_tasks > 1
+        corpus = gauc_mode == "corpus"
 
         def many(state: TrainState, carry, packed: PackedBatch,
                  step_w: jnp.ndarray):
             def body(carry, xs):
                 packed_step, sw = xs
-                hist, cvr_hist, win, total = carry
+                hist, cvr_hist, aux0, aux1 = carry
                 dense, ids, labels, groups, cvr, domain = wire.decode(
                     packed_step)
                 logits = self._eval_body(state, dense, ids, domain)
@@ -649,19 +664,28 @@ class Trainer:
                 ex_w = jnp.full(labels.shape, sw, jnp.float32)
                 hist = DeviceStreamingAUC.accumulate(hist, labels, main,
                                                      weights=ex_w)
-                w, t = batch_gauc_stats(labels, main, groups)
+                if corpus:
+                    # groups carry pre-mapped corpus slots (raw wire)
+                    aux0 = DeviceGroupedAUC.accumulate(
+                        aux0, groups, labels, main, group_buckets,
+                        weights=ex_w)
+                else:
+                    w, t = batch_gauc_stats(labels, main, groups)
+                    aux0, aux1 = aux0 + sw * w, aux1 + sw * t
                 if multi:
                     cvr_hist = DeviceStreamingAUC.accumulate(
                         cvr_hist, cvr, logits[1], weights=ex_w)
-                return (hist, cvr_hist, win + sw * w,
-                        total + sw * t), ()
+                return (hist, cvr_hist, aux0, aux1), ()
             carry, _ = jax.lax.scan(body, carry, (packed, step_w))
             return carry
         return jax.jit(many)
 
     def evaluate_device(self, state: TrainState, batches,
                         window: int = 8,
-                        num_buckets: int = 4096) -> Dict[str, float]:
+                        num_buckets: int = 4096,
+                        gauc: str = "corpus",
+                        num_group_slots: int = 8192,
+                        group_buckets: int = 512) -> Dict[str, float]:
         """Device-resident eval sweep: no per-example host traffic.
 
         ``evaluate`` is the exact oracle but streams every logit to the
@@ -672,23 +696,42 @@ class Trainer:
         window k) and accumulates sufficient statistics on device:
 
         * bucketed AUC histograms (error O(1/num_buckets), see
-          :class:`DeviceStreamingAUC`),
-        * pair-weighted in-batch GAUC win/total sums — the same
-          statistic the in-batch pairwise loss optimizes.  Corpus-level
-          cross-batch GAUC needs per-group triples; use ``evaluate``
-          when that exact definition is required.
+          :class:`DeviceStreamingAUC`);
+        * ``gauc='corpus'`` (default): CORPUS-level GAUC — per-group
+          (positive, negative) score-bucket histograms of shape
+          (2, num_group_slots, group_buckets), merged across windows
+          in the scan carry.  Group ids are pre-mapped on the host
+          into dense corpus slots (exact dict mapping single-process,
+          consistent hash on a pod — :class:`CorpusGroupIndexer`) and
+          travel the u16 group wire field unremapped.  Matches the
+          exact host GAUC to the O(1/group_buckets) tie error
+          (< 1e-3 at the defaults; tests/training/test_device_gauc.py);
+        * ``gauc='inbatch'``: the r2 behavior — pair-weighted in-batch
+          GAUC win/total sums (the statistic the in-batch pairwise
+          loss optimizes).
 
-        The final host fetch is 2·num_buckets floats + 2 scalars.
+        The final host fetch is 2 * num_buckets floats, plus the
+        2 * G * K group histogram under 'corpus'.
 
-        Returns {'auc', 'gauc' (in-batch), 'num_pos', 'num_neg'
-        [, 'cvr_auc']}.
+        Returns {'auc', 'gauc', 'gauc_mode', 'num_pos', 'num_neg'
+        [, 'gauc_groups', 'gauc_overflow'][, 'cvr_auc']}.
         """
-        if getattr(self, "_eval_many_packed", None) is None \
-                or getattr(self, "_eval_buckets", None) != num_buckets:
+        if gauc not in ("corpus", "inbatch"):
+            raise ValueError(f"unknown gauc mode {gauc!r}")
+        corpus = gauc == "corpus"
+        key = (num_buckets, gauc, group_buckets if corpus else 0)
+        if getattr(self, "_eval_many_key", None) != key:
             self._eval_many_packed = self._build_eval_many_packed(
-                num_buckets)
-            self._eval_buckets = num_buckets
+                num_buckets, gauc, group_buckets)
+            self._eval_many_key = key
         batches = list(batches)
+        indexer = None
+        if corpus:
+            indexer = CorpusGroupIndexer(
+                num_group_slots, use_hash=jax.process_count() > 1)
+            batches = [
+                b._replace(group_ids=indexer.assign(b.group_ids))
+                for b in batches]
         # pad the ragged tail with zero-weight repeats of the last
         # batch: every window then has ONE (window, batch) shape and
         # the scanned program compiles exactly once per sweep shape
@@ -702,21 +745,38 @@ class Trainer:
         if n_pad:
             step_ws[-1][window - n_pad:] = 0.0
         hist = jnp.zeros((2, num_buckets), jnp.float32)
-        carry = (hist, hist, jnp.zeros(()), jnp.zeros(()))
-        dev = self.put_packed_auto(windows[0])
+        if corpus:
+            carry = (hist, hist,
+                     DeviceGroupedAUC.init(num_group_slots,
+                                           group_buckets),
+                     jnp.zeros(()))
+        else:
+            carry = (hist, hist, jnp.zeros(()), jnp.zeros(()))
+        dev = self.put_packed_auto(windows[0], raw_groups=corpus)
         for i in range(len(windows)):
-            nxt = (self.put_packed_auto(windows[i + 1])
+            nxt = (self.put_packed_auto(windows[i + 1],
+                                        raw_groups=corpus)
                    if i + 1 < len(windows) else None)
             carry = self._eval_many_packed(state, carry, dev,
                                            jnp.asarray(step_ws[i]))
             dev = nxt
-        hist, cvr_hist, win, total = jax.device_get(carry)
+        hist, cvr_hist, aux0, aux1 = jax.device_get(carry)
         result = {
             "auc": DeviceStreamingAUC.auc_from_hist(hist),
-            "gauc": (float(win / total) if float(total) > 0 else 0.5),
+            "gauc_mode": gauc,
             "num_pos": float(np.asarray(hist)[0].sum()),
             "num_neg": float(np.asarray(hist)[1].sum()),
         }
+        if corpus:
+            gr = DeviceGroupedAUC.gauc_from_hist(aux0, group_buckets)
+            result["gauc"] = gr["gauc"]
+            result["gauc_groups"] = gr["num_groups"]
+            if indexer.overflowed:
+                result["gauc_overflow"] = float(indexer.overflowed)
+        else:
+            win, total = aux0, aux1
+            result["gauc"] = (float(win / total)
+                              if float(total) > 0 else 0.5)
         if self.cfg.num_tasks > 1:
             result["cvr_auc"] = DeviceStreamingAUC.auc_from_hist(cvr_hist)
         return result

@@ -110,6 +110,23 @@ def unpack_ids(words: jnp.ndarray, num_sparse: int,
     return jnp.stack(cols, axis=-1)
 
 
+def raw_groups_u16(group_ids: np.ndarray) -> np.ndarray:
+    """Pass group ids through the u16 wire field UNremapped.
+
+    Used by the corpus-GAUC eval path: the caller has already mapped
+    ids into a dense corpus-consistent slot space (< 65536), and the
+    cross-batch identity the per-batch remap deliberately discards is
+    exactly what corpus GAUC needs.
+    """
+    g = np.asarray(group_ids)
+    if g.size and (int(g.max()) > 0xFFFF or int(g.min()) < 0):
+        raise ValueError(
+            "raw group wire needs ids in [0, 65536); got "
+            f"[{int(g.min())}, {int(g.max())}] — pre-map ids into a "
+            "dense corpus slot space first")
+    return g.astype(np.uint16)
+
+
 def remap_groups(group_ids: np.ndarray) -> np.ndarray:
     """Per-batch bijective remap of (..., B) group ids to uint16.
 
@@ -212,39 +229,55 @@ class WireFormat:
                               batch.domain_idx))
 
     def pack_window(self, batches: Sequence[Batch],
-                    num_shards: Optional[int] = None) -> PackedBatch:
-        """Stack + compress a window of identically-shaped batches."""
+                    num_shards: Optional[int] = None,
+                    raw_groups: bool = False) -> PackedBatch:
+        """Stack + compress a window of identically-shaped batches.
+
+        Args:
+            batches: identically-shaped host batches.
+            num_shards: override the affine shard count (see ``pack``).
+            raw_groups: ship group ids UNremapped (u16 pass-through) —
+                the corpus-GAUC eval path, where ids are pre-mapped
+                dense corpus slots and cross-batch identity matters.
+        """
         shards = self.num_shards if num_shards is None else num_shards
+        group_fn = raw_groups_u16 if raw_groups else remap_groups
         d, scale = self._pack_dense(
             np.stack([b.dense for b in batches]), shards)
         return PackedBatch(
             dense=d, dense_scale=scale,
             id_words=pack_ids(
                 np.stack([b.sparse_ids for b in batches]), self.bits),
-            group_ids=remap_groups(
+            group_ids=group_fn(
                 np.stack([b.group_ids for b in batches])),
             flags=_pack_flags(
                 np.stack([b.labels for b in batches]),
                 np.stack([b.cvr_labels for b in batches]),
                 np.stack([b.domain_idx for b in batches])))
 
+    def decode_dense(self, dense, dense_scale) -> jnp.ndarray:
+        """Device-side dense decode (f16 widen / per-shard u8 affine).
+
+        Shared by the training decode and the wire-fed serving scorer
+        (serving.py).  Traced inside jit.
+        """
+        if self.dense_mode != "u8":
+            return dense.astype(jnp.float32)
+        n = dense_scale.shape[-3]
+        b, f = dense.shape[-2], dense.shape[-1]
+        q = dense.reshape(dense.shape[:-2] + (n, b // n, f))
+        lo = dense_scale[..., 0, :]                  # (..., n, F)
+        step = dense_scale[..., 1, :]
+        out = (q.astype(jnp.float32)
+               * step[..., :, None, :] + lo[..., :, None, :])
+        return out.reshape(dense.shape)
+
     def decode(self, packed) -> Tuple[jnp.ndarray, jnp.ndarray,
                                       jnp.ndarray, jnp.ndarray,
                                       jnp.ndarray, jnp.ndarray]:
         """Device-side decode -> (dense f32, ids i32, labels f32,
         groups i32, cvr f32, domain i32).  Traced inside jit."""
-        if self.dense_mode == "u8":
-            n = packed.dense_scale.shape[-3]
-            b, f = packed.dense.shape[-2], packed.dense.shape[-1]
-            q = packed.dense.reshape(
-                packed.dense.shape[:-2] + (n, b // n, f))
-            lo = packed.dense_scale[..., 0, :]       # (..., n, F)
-            step = packed.dense_scale[..., 1, :]
-            dense = (q.astype(jnp.float32)
-                     * step[..., :, None, :] + lo[..., :, None, :])
-            dense = dense.reshape(packed.dense.shape)
-        else:
-            dense = packed.dense.astype(jnp.float32)
+        dense = self.decode_dense(packed.dense, packed.dense_scale)
         ids = unpack_ids(packed.id_words, self.num_sparse, self.bits)
         flags = packed.flags
         labels = (flags & jnp.uint8(1)).astype(jnp.float32)

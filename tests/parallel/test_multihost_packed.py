@@ -170,13 +170,15 @@ class TestEvalDeviceRaggedTail:
         data = SyntheticCriteo(rows_per_field=512, num_users=64)
         batches = list(data.batches(16, 5))
         state = tr.init(jax.random.PRNGKey(0), batches[0])
+        small = dict(num_buckets=256, num_group_slots=128,
+                     group_buckets=64)
         # 5 batches, window 2 -> one padded step
         res_ragged = tr.evaluate_device(state, batches, window=2,
-                                        num_buckets=256)
+                                        **small)
         # the padded sweep must equal the exact-multiple sweep over the
         # same real batches (window 5 -> no padding)
         res_full = tr.evaluate_device(state, batches, window=5,
-                                      num_buckets=256)
+                                      **small)
         assert res_ragged["num_pos"] == res_full["num_pos"]
         assert res_ragged["num_neg"] == res_full["num_neg"]
         np.testing.assert_allclose(res_ragged["auc"], res_full["auc"],
@@ -189,5 +191,5 @@ class TestEvalDeviceRaggedTail:
         # length reuses the same executable (no new trace)
         before = lowered._cache_size()
         tr.evaluate_device(state, list(data.batches(16, 3)), window=2,
-                           num_buckets=256)
+                           **small)
         assert lowered._cache_size() == before

@@ -8,7 +8,7 @@ pytestmark = pytest.mark.slow
 
 from rec_now_tpu.models import DCNv2Model, CANDCNModel, FeatureConfig
 from rec_now_tpu.parallel import make_mesh
-from rec_now_tpu.serving import build_scorer
+from rec_now_tpu.serving import WireScorer, build_scorer
 from rec_now_tpu.training import SyntheticCriteo, Trainer, TrainerConfig
 
 FC = FeatureConfig(rows_per_field=512, embedding_dim=4)
@@ -32,6 +32,42 @@ class TestServing:
         s2 = trainer.eval_step(state, dense, ids)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-6)
+
+    def test_wire_scorer_matches_raw(self, mesh):
+        """Wire-fed scoring == raw scoring up to dense-wire rounding."""
+        trainer = Trainer(DCNv2Model(deep_dims=(16,), dcn_sub_dim=4), FC,
+                          TrainerConfig(), mesh=mesh)
+        data = SyntheticCriteo(rows_per_field=512, num_users=50)
+        batch = next(data.batches(64, 1))
+        state = trainer.init(jax.random.PRNGKey(0), batch)
+        raw = build_scorer(trainer)(
+            state, jnp.asarray(batch.dense),
+            jnp.asarray(batch.sparse_ids))
+        for mode, tol in (("f16", 2e-3), ("u8", 3e-2)):
+            ws = WireScorer(trainer, dense_mode=mode)
+            out = ws(state, batch.dense, batch.sparse_ids)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(raw),
+                                       atol=tol, err_msg=mode)
+        # ids are exactly preserved: f16 wire on f16-representable
+        # dense must be bit-identical
+        b2 = batch._replace(
+            dense=batch.dense.astype(np.float16).astype(np.float32))
+        raw2 = build_scorer(trainer)(
+            state, jnp.asarray(b2.dense), jnp.asarray(b2.sparse_ids))
+        out2 = WireScorer(trainer)(state, b2.dense, b2.sparse_ids)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(raw2))
+
+    def test_wire_scorer_request_bytes(self, mesh):
+        """The packed request is a fraction of the raw one."""
+        trainer = Trainer(DCNv2Model(deep_dims=(16,), dcn_sub_dim=4), FC,
+                          TrainerConfig(), mesh=mesh)
+        data = SyntheticCriteo(rows_per_field=512, num_users=50)
+        batch = next(data.batches(256, 1))
+        ws = WireScorer(trainer, dense_mode="u8")
+        q, scale, words = ws.pack(batch.dense, batch.sparse_ids)
+        packed = q.nbytes + words.nbytes   # scale amortizes (26 B/req)
+        raw = batch.dense.nbytes + batch.sparse_ids.nbytes
+        assert packed < raw * 0.35
 
     def test_scorer_with_can_table(self, mesh):
         trainer = Trainer(

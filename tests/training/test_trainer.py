@@ -157,8 +157,9 @@ class TestEvaluateDevice:
         """Device-resident eval agrees with the exact host oracle.
 
         AUC: bucketed histogram vs exact sort — within O(1/K).
-        GAUC: evaluate_device reports the in-batch pair statistic, so
-        the oracle here is batch_gauc over the same batches.
+        GAUC: gauc='inbatch' reports the in-batch pair statistic, so
+        the oracle here is batch_gauc over the same batches (the
+        corpus default is covered by tests/training/test_device_gauc).
         """
         from rec_now_tpu.training.metrics import batch_gauc
         trainer = Trainer(
@@ -171,7 +172,8 @@ class TestEvaluateDevice:
 
         eval_batches = list(data.batches(256, 4, seed=11))
         exact = trainer.evaluate(state, eval_batches)
-        fast = trainer.evaluate_device(state, eval_batches, window=2)
+        fast = trainer.evaluate_device(state, eval_batches, window=2,
+                                       gauc="inbatch")
         assert fast["auc"] == pytest.approx(exact["auc"], abs=2e-3)
         assert fast["num_pos"] + fast["num_neg"] == pytest.approx(
             256 * 4)

@@ -1,10 +1,12 @@
 """Eval throughput: exact host sweep vs device-resident sweep.
 
-VERDICT r2 #9: quantify eval ex/s for a held-out sweep and name the
-bottleneck.  Times ``Trainer.evaluate`` (host-side exact AUC/GAUC:
-streams logits over the tunnel, numpy sort) against
+VERDICT r2 #9 / r3 #3: quantify eval ex/s for a held-out sweep and
+name the bottleneck.  Times ``Trainer.evaluate`` (host-side exact
+AUC/GAUC: streams logits over the tunnel, numpy sort) against
 ``Trainer.evaluate_device`` (scanned packed windows, on-device bucketed
-AUC + in-batch GAUC, one 2*K-float fetch) on the flagship config.
+AUC + CORPUS GAUC via per-group score histograms, one O(G*K) fetch) on
+the flagship config — the corpus gauc delta vs the exact host value is
+the r3 #3 done-criterion number.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/measure_eval.py
 Env: EVAL_BATCHES (default 64), BATCH (8192), WINDOW (8)
@@ -47,16 +49,22 @@ def main():
     held_out = list(data.batches(B, n_eval, seed=77))
 
     # warm both paths (compiles) on a 2-window slice
+    # corpus-slot space sized for the 50k-user synthetic stream: dict
+    # mapping stays exact (no overflow) below slots - slots/8
+    slots, kbuck = 65536, 256
     trainer.evaluate(state, held_out[:2])
     trainer.evaluate_device(state, held_out[:2 * window][:window],
-                            window=window)
+                            window=window, num_group_slots=slots,
+                            group_buckets=kbuck)
 
     t0 = time.perf_counter()
     exact = trainer.evaluate(state, held_out)
     t_exact = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    fast = trainer.evaluate_device(state, held_out, window=window)
+    fast = trainer.evaluate_device(state, held_out, window=window,
+                                   num_group_slots=slots,
+                                   group_buckets=kbuck)
     t_fast = time.perf_counter() - t0
 
     n = B * n_eval
@@ -71,7 +79,10 @@ def main():
         "auc_device": round(fast["auc"], 5),
         "auc_delta": round(abs(exact["auc"] - fast["auc"]), 6),
         "gauc_exact_corpus": round(exact["gauc"], 5),
-        "gauc_device_inbatch": round(fast["gauc"], 5),
+        "gauc_device_corpus": round(fast["gauc"], 5),
+        "gauc_delta": round(abs(exact["gauc"] - fast["gauc"]), 6),
+        "gauc_groups_exact": exact["num_groups"],
+        "gauc_groups_device": fast.get("gauc_groups"),
     }
     print(json.dumps(out))
 
