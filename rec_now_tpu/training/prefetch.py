@@ -95,24 +95,43 @@ class DevicePrefetcher:
                 return
             yield item
 
-    def close(self) -> None:
-        """Stop the producer and drain (for early loop exit)."""
+    def close(self, timeout: float = 5.0) -> None:
+        """Stop the producer and drain (for early loop exit).
+
+        Bounded by ``timeout`` even when the worker is wedged inside a
+        device transfer (dead tunnel): the drain loop keeps emptying
+        the queue so a producer blocked in ``put`` can finish, but
+        never spins past the deadline — an unbounded wait here would
+        turn the atexit shutdown hook into a hang.  Always leaves one
+        ``_END`` in the queue so any other consumer still blocked in
+        ``get()`` (e.g. WindowPrefetcher's inner worker reading a
+        closed parse stage) wakes up and terminates instead of
+        deadlocking on the stolen sentinel.
+        """
+        import time as _time
         self._stop.set()
-        while True:
+        deadline = _time.monotonic() + timeout
+        while self._thread.is_alive() and _time.monotonic() < deadline:
             try:
-                if self._q.get_nowait() is _END:
-                    break
+                self._q.get(timeout=0.05)   # unblocks a full-queue put
             except queue.Empty:
-                if not self._thread.is_alive():
-                    break
-                threading.Event().wait(0.01)
-        self._thread.join(timeout=5)
+                pass
+        self._thread.join(timeout=0.2)
         if self._thread.is_alive():
             import logging
             logging.getLogger(__name__).warning(
-                "prefetch worker %s did not exit within 5 s (likely "
+                "prefetch worker %s did not exit within %.1f s (likely "
                 "blocked in a device transfer); leaking daemon thread",
-                self._thread.name)
+                self._thread.name, timeout)
+        while True:                          # drain leftovers
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        try:
+            self._q.put_nowait(_END)         # wake any other consumer
+        except queue.Full:
+            pass
 
     def __enter__(self):
         return self

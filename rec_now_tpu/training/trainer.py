@@ -718,6 +718,10 @@ class Trainer:
         """
         if gauc not in ("corpus", "inbatch"):
             raise ValueError(f"unknown gauc mode {gauc!r}")
+        if num_group_slots > 0x10000:
+            raise ValueError(
+                "corpus group slots travel the uint16 group wire: "
+                f"num_group_slots must be <= 65536, got {num_group_slots}")
         corpus = gauc == "corpus"
         key = (num_buckets, gauc, group_buckets if corpus else 0)
         if getattr(self, "_eval_many_key", None) != key:

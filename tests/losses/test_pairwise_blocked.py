@@ -181,6 +181,28 @@ class TestCustomPairlossBlocked:
                                use_pallas=False)
         assert np.isfinite(float(out))
 
+    def test_blocked_capable_contract(self):
+        """Only EXPLICIT pair_mask + reduce_mean parameters qualify —
+        a bare **kwargs would swallow reduce_mean without honoring it
+        and the tile sums would silently become means (review r4)."""
+        from rec_now_tpu.losses.pairwise import _blocked_capable
+
+        def explicit(pos, neg, w, pair_mask=None, reduce_mean=True):
+            return jnp.zeros(())
+
+        def swallows(pos, neg, w, pair_mask=None, **kw):
+            return jnp.zeros(())
+
+        def bare(pos, neg, w):
+            return jnp.zeros(())
+
+        assert _blocked_capable(explicit)
+        assert not _blocked_capable(swallows)
+        assert not _blocked_capable(bare)
+        import functools
+        assert _blocked_capable(
+            functools.partial(explicit, reduce_mean=False))
+
     def test_partial_bpr_reduce_false_routes_blocked_sum(self):
         """The trainer's partial(bpr, reduce_mean=False) contract:
         pairwise_loss must return the SUM (not mean) through the

@@ -97,7 +97,8 @@ class TestCLIInProcess:
             "--model", "fm", "--steps", "2", "--batch-size", "32",
             "--rows-per-field", "256", "--embedding-dim", "4",
             "--eval-batches", "2", "--log-every", "0",
-            "--eval-mode", "device"])
+            "--eval-mode", "device",
+            "--eval-group-slots", "128", "--eval-group-buckets", "64"])
         assert rc == 0
         out = capsys.readouterr().out
         lines = [json.loads(ln) for ln in out.splitlines()

@@ -40,6 +40,30 @@ class TestCorpusGroupIndexer:
         g = np.random.RandomState(0).randint(0, 10**9, 500)
         np.testing.assert_array_equal(i1.assign(g), i2.assign(g[::-1])[::-1])
 
+    def test_hash_mode_surfaces_collisions(self):
+        """Hash collisions merge groups; that degradation must be
+        counted, and counted once per colliding group (review r4)."""
+        idx = CorpusGroupIndexer(8, use_hash=True)   # force collisions
+        g = np.arange(64)
+        idx.assign(g)
+        first = idx.overflowed
+        assert first > 0
+        idx.assign(g)          # same ids again: no double counting
+        assert idx.overflowed == first
+
+    def test_slots_above_u16_rejected(self):
+        from rec_now_tpu.models import FeatureConfig
+        from rec_now_tpu.models.fm_model import FMModel
+        from rec_now_tpu.training import (SyntheticCriteo, Trainer,
+                                          TrainerConfig)
+        fc = FeatureConfig(rows_per_field=512, embedding_dim=4)
+        tr = Trainer(FMModel(), fc, TrainerConfig())
+        data = SyntheticCriteo(rows_per_field=512, num_users=16)
+        batches = list(data.batches(16, 1))
+        state = tr.init(jax.random.PRNGKey(0), batches[0])
+        with pytest.raises(ValueError, match="65536"):
+            tr.evaluate_device(state, batches, num_group_slots=131072)
+
 
 class TestDeviceGroupedAUCMetric:
     def _corpus(self, n=6000, n_groups=400, seed=0):

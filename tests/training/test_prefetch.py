@@ -61,6 +61,39 @@ class TestDevicePrefetcher:
         assert next(it) == 0
         pf.close()  # must not hang
 
+    def test_close_bounded_when_worker_wedged(self):
+        """A put() that never returns (dead tunnel) must not turn
+        close() — or the atexit hook that calls it — into a hang."""
+        import threading
+        never = threading.Event()
+
+        def wedged_put(x):
+            never.wait()      # blocks forever
+
+        pf = DevicePrefetcher(iter([1, 2, 3]), wedged_put, depth=1)
+        t0 = time.perf_counter()
+        pf.close(timeout=0.5)
+        assert time.perf_counter() - t0 < 3.0
+        never.set()           # let the daemon thread die
+
+    def test_close_leaves_end_sentinel_for_other_consumers(self):
+        """Closing must wake a consumer blocked in get() on the same
+        queue (WindowPrefetcher's inner worker reading a closed parse
+        stage) instead of deadlocking on the stolen sentinel."""
+        import threading
+        pf = DevicePrefetcher(iter(range(3)), lambda x: x, depth=2)
+        got = []
+
+        def consumer():
+            got.extend(list(pf))
+
+        time.sleep(0.1)       # let the producer finish
+        pf.close()
+        t = threading.Thread(target=consumer, daemon=True)
+        t.start()
+        t.join(timeout=2.0)
+        assert not t.is_alive()   # consumer saw _END and returned
+
     def test_overlap_actually_happens(self):
         """Producer makes progress while the consumer sleeps."""
         stamps = []

@@ -199,7 +199,9 @@ class TestEvaluateDevice:
         # ([2, 1] -> one [3] window, a single compile)
         batches = list(data.batches(256, 3, seed=3))
         state = trainer.init(jax.random.PRNGKey(0), batches[0])
-        fast = trainer.evaluate_device(state, batches, window=2)
+        fast = trainer.evaluate_device(state, batches, window=2,
+                                       num_group_slots=256,
+                                       group_buckets=128)
         exact = trainer.evaluate(state, batches)
         assert fast["cvr_auc"] == pytest.approx(exact["cvr_auc"],
                                                 abs=2e-3)
