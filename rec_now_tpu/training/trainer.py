@@ -675,6 +675,10 @@ class Trainer:
                 if multi:
                     cvr_hist = DeviceStreamingAUC.accumulate(
                         cvr_hist, cvr, logits[1], weights=ex_w)
+                    if corpus:   # aux1 is free: CVR corpus group hist
+                        aux1 = DeviceGroupedAUC.accumulate(
+                            aux1, groups, cvr, logits[1], group_buckets,
+                            weights=ex_w)
                 return (hist, cvr_hist, aux0, aux1), ()
             carry, _ = jax.lax.scan(body, carry, (packed, step_w))
             return carry
@@ -750,10 +754,11 @@ class Trainer:
             step_ws[-1][window - n_pad:] = 0.0
         hist = jnp.zeros((2, num_buckets), jnp.float32)
         if corpus:
-            carry = (hist, hist,
-                     DeviceGroupedAUC.init(num_group_slots,
-                                           group_buckets),
-                     jnp.zeros(()))
+            ghist0 = DeviceGroupedAUC.init(num_group_slots,
+                                           group_buckets)
+            carry = (hist, hist, ghist0,
+                     ghist0 if self.cfg.num_tasks > 1
+                     else jnp.zeros(()))
         else:
             carry = (hist, hist, jnp.zeros(()), jnp.zeros(()))
         dev = self.put_packed_auto(windows[0], raw_groups=corpus)
@@ -783,4 +788,7 @@ class Trainer:
                               if float(total) > 0 else 0.5)
         if self.cfg.num_tasks > 1:
             result["cvr_auc"] = DeviceStreamingAUC.auc_from_hist(cvr_hist)
+            if corpus:
+                result["cvr_gauc"] = DeviceGroupedAUC.gauc_from_hist(
+                    aux1, group_buckets)["gauc"]
         return result

@@ -147,6 +147,26 @@ class TestTrainerCorpusEval:
         assert res["gauc_mode"] == "inbatch"
         assert 0.0 <= res["gauc"] <= 1.0
 
+    @pytest.mark.slow
+    def test_multitask_cvr_corpus_gauc(self):
+        from rec_now_tpu.models import FeatureConfig, MultiTaskModel
+        from rec_now_tpu.training import (SyntheticCriteo, Trainer,
+                                          TrainerConfig)
+        fc = FeatureConfig(rows_per_field=512, embedding_dim=4)
+        tr = Trainer(MultiTaskModel(num_task=2, mmoe_dims=(8,),
+                                    ple_dims=(8,), tower_dim=4),
+                     fc, TrainerConfig(num_tasks=2))
+        data = SyntheticCriteo(rows_per_field=512, num_users=80)
+        batches = list(data.batches(128, 6))
+        state = tr.init(jax.random.PRNGKey(0), batches[0])
+        host = tr.evaluate(state, batches)
+        dev = tr.evaluate_device(state, batches, window=3,
+                                 num_group_slots=256, group_buckets=512)
+        assert dev["cvr_gauc"] == pytest.approx(host["cvr_gauc"],
+                                                abs=2e-3)
+        assert dev["cvr_auc"] == pytest.approx(host["cvr_auc"],
+                                               abs=2e-3)
+
     def test_overflow_surfaced(self):
         tr, data = self._setup(num_users=300)
         batches = list(data.batches(128, 3))
