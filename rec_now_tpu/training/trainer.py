@@ -682,7 +682,10 @@ class Trainer:
                 return (hist, cvr_hist, aux0, aux1), ()
             carry, _ = jax.lax.scan(body, carry, (packed, step_w))
             return carry
-        return jax.jit(many)
+        # donate the carry: the corpus group histogram is ~100 MB at
+        # production slot counts and must update in place across
+        # window calls
+        return jax.jit(many, donate_argnums=(1,))
 
     def evaluate_device(self, state: TrainState, batches,
                         window: int = 8,
@@ -752,15 +755,19 @@ class Trainer:
                    for _ in range(len(windows))]
         if n_pad:
             step_ws[-1][window - n_pad:] = 0.0
+        # distinct buffers: the carry is DONATED, and donating one
+        # buffer twice is an error
         hist = jnp.zeros((2, num_buckets), jnp.float32)
+        cvr0 = jnp.zeros((2, num_buckets), jnp.float32)
         if corpus:
             ghist0 = DeviceGroupedAUC.init(num_group_slots,
                                            group_buckets)
-            carry = (hist, hist, ghist0,
-                     ghist0 if self.cfg.num_tasks > 1
-                     else jnp.zeros(()))
+            carry = (hist, cvr0, ghist0,
+                     DeviceGroupedAUC.init(num_group_slots,
+                                           group_buckets)
+                     if self.cfg.num_tasks > 1 else jnp.zeros(()))
         else:
-            carry = (hist, hist, jnp.zeros(()), jnp.zeros(()))
+            carry = (hist, cvr0, jnp.zeros(()), jnp.zeros(()))
         dev = self.put_packed_auto(windows[0], raw_groups=corpus)
         for i in range(len(windows)):
             nxt = (self.put_packed_auto(windows[i + 1],
@@ -769,7 +776,17 @@ class Trainer:
             carry = self._eval_many_packed(state, carry, dev,
                                            jnp.asarray(step_ws[i]))
             dev = nxt
-        hist, cvr_hist, aux0, aux1 = jax.device_get(carry)
+        d_hist, d_cvr, aux0, aux1 = carry
+        if corpus:
+            # reduce (2G, K) -> (3, G) ON DEVICE: the host fetch is
+            # O(G), not the ~100 MB full histogram (seconds over a
+            # thin host link)
+            finish = jax.jit(DeviceGroupedAUC.finish)
+            aux0 = finish(aux0)
+            if self.cfg.num_tasks > 1:
+                aux1 = finish(aux1)
+        hist, cvr_hist, aux0, aux1 = jax.device_get(
+            (d_hist, d_cvr, aux0, aux1))
         result = {
             "auc": DeviceStreamingAUC.auc_from_hist(hist),
             "gauc_mode": gauc,
@@ -777,7 +794,7 @@ class Trainer:
             "num_neg": float(np.asarray(hist)[1].sum()),
         }
         if corpus:
-            gr = DeviceGroupedAUC.gauc_from_hist(aux0, group_buckets)
+            gr = DeviceGroupedAUC.gauc_from_stats(aux0)
             result["gauc"] = gr["gauc"]
             result["gauc_groups"] = gr["num_groups"]
             if indexer.overflowed:
@@ -789,6 +806,6 @@ class Trainer:
         if self.cfg.num_tasks > 1:
             result["cvr_auc"] = DeviceStreamingAUC.auc_from_hist(cvr_hist)
             if corpus:
-                result["cvr_gauc"] = DeviceGroupedAUC.gauc_from_hist(
-                    aux1, group_buckets)["gauc"]
+                result["cvr_gauc"] = DeviceGroupedAUC.gauc_from_stats(
+                    aux1)["gauc"]
         return result

@@ -11,9 +11,11 @@ calls after a warmup.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/measure_serving.py
 """
 import json
+import os
 import time
 
 import numpy as np
+
 
 import jax
 import jax.numpy as jnp
@@ -22,8 +24,11 @@ from rec_now_tpu.models import DCNv2Model, FeatureConfig
 from rec_now_tpu.serving import WireScorer, build_scorer
 from rec_now_tpu.training import SyntheticCriteo, Trainer, TrainerConfig
 
-REPS = 30
-BATCHES = (1, 256, 8192)
+REPS = int(os.environ.get("SERVE_REPS", 15))
+# largest first: over the slow-compile tunnel a timeout then still
+# leaves the production-relevant row measured (rows print as they land)
+BATCHES = tuple(int(x) for x in os.environ.get(
+    "SERVE_BATCHES", "8192,256,1").split(","))
 
 
 def median_ms(fn):
@@ -51,30 +56,28 @@ def main():
         dense_d = jnp.asarray(batch.dense)
         ids_d = jnp.asarray(batch.sparse_ids)
         # raw path, device-resident inputs (lower bound: no wire)
+        def record(path, ms, p90):
+            row = {"B": b, "path": path, "ms_median": round(ms, 3),
+                   "ms_p90": round(p90, 3),
+                   "ex_per_s": round(b / ms * 1e3)}
+            rows.append(row)
+            print(row, flush=True)
+
         float(jnp.sum(raw(state, dense_d, ids_d)))       # compile
         ms, p90 = median_ms(lambda: raw(state, dense_d, ids_d))
-        rows.append({"B": b, "path": "raw(device-resident)",
-                     "ms_median": round(ms, 3), "ms_p90": round(p90, 3),
-                     "ex_per_s": round(b / ms * 1e3)})
+        record("raw(device-resident)", ms, p90)
         # raw path, host inputs each call (raw wire cost included)
         ms, p90 = median_ms(
             lambda: raw(state, jnp.asarray(batch.dense),
                         jnp.asarray(batch.sparse_ids)))
-        rows.append({"B": b, "path": "raw(host-fed 156 B/ex)",
-                     "ms_median": round(ms, 3), "ms_p90": round(p90, 3),
-                     "ex_per_s": round(b / ms * 1e3)})
+        record("raw(host-fed 156 B/ex)", ms, p90)
         for mode, ws in wires.items():
             float(jnp.sum(ws(state, batch.dense, batch.sparse_ids)))
             ms, p90 = median_ms(
                 lambda: ws(state, batch.dense, batch.sparse_ids))
             per_ex = (13 * (2 if mode == "f16" else 1)
                       + ws.wire.words * 4)
-            rows.append({"B": b, "path": f"wire-{mode} ({per_ex} B/ex)",
-                         "ms_median": round(ms, 3),
-                         "ms_p90": round(p90, 3),
-                         "ex_per_s": round(b / ms * 1e3)})
-        for r in rows[-4:]:
-            print(r, flush=True)
+            record(f"wire-{mode} ({per_ex} B/ex)", ms, p90)
     print(json.dumps(rows))
 
 
