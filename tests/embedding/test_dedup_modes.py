@@ -65,7 +65,17 @@ class TestScatterMode:
             return table.apply_grads(state, ids, grad, lr=0.5,
                                      dedup=False), loss
 
-        losses = [float(step(state)[1])]
-        for _ in range(40):
-            state, loss = step(state)
-        assert float(loss) < losses[0] * 0.2
+        # one dispatch via fori_loop instead of 40 sequential jit calls:
+        # on the oversubscribed CI box each dispatch of an 8-replica
+        # collective program opens a rendezvous window, and under
+        # pytest-xdist load the 40 s rendezvous deadline occasionally
+        # fired mid-loop, aborting the worker (r4 forensics)
+        @jax.jit
+        def run(state):
+            _, loss0 = step(state)
+            state, loss = jax.lax.fori_loop(
+                0, 40, lambda i, c: step(c[0]), (state, loss0))
+            return loss0, loss
+
+        loss0, loss = run(state)
+        assert float(loss) < float(loss0) * 0.2
