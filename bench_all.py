@@ -22,6 +22,7 @@ best, and the per-config best/median come from the pooled samples.
 """
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import time
@@ -140,7 +141,6 @@ def main():
         model, cfg = make()
         # production wire setting (u8 dense): AUC parity with f16
         # proven to 1e-5 (BASELINE.md r3)
-        import dataclasses
         cfg = dataclasses.replace(
             cfg, wire_dense_mode=os.environ.get(
                 'BENCH_WIRE_DENSE', 'u8'))

@@ -32,6 +32,7 @@ Symbols: B = batch size.
 from __future__ import annotations
 
 import functools
+import inspect
 from typing import Callable, Optional, Sequence, Union
 
 import jax
@@ -63,7 +64,6 @@ def _blocked_capable(fn: Callable) -> bool:
     Callables without the keywords fall back to the dense (B, B) path,
     which materializes ~B*B*4-byte slabs — avoid at B >= 4096.
     """
-    import inspect
     try:
         params = inspect.signature(fn).parameters
     except (TypeError, ValueError):
@@ -78,7 +78,6 @@ def _blocked_capable(fn: Callable) -> bool:
 def _callable_reduces(fn: Callable) -> bool:
     """The effective ``reduce_mean`` a bare ``fn(pos, neg, w, mask)``
     call would use (partial bindings override the signature default)."""
-    import inspect
     while isinstance(fn, functools.partial):
         if "reduce_mean" in fn.keywords:
             return bool(fn.keywords["reduce_mean"])

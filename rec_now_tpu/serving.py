@@ -83,7 +83,7 @@ class WireScorer:
     """
 
     def __init__(self, trainer, dense_mode: str = "f16"):
-        from rec_now_tpu.training.wire import WireFormat
+        from rec_now_tpu.training.wire import WireFormat, unpack_ids
         fc, cfg = trainer.fc, trainer.cfg
         self.wire = WireFormat(fc.num_sparse, fc.rows_per_field,
                                dense_mode=dense_mode, num_shards=1)
@@ -94,7 +94,6 @@ class WireScorer:
         @jax.jit
         def score_packed(state, qdense, dense_scale, id_words):
             dense = wire.decode_dense(qdense, dense_scale)
-            from rec_now_tpu.training.wire import unpack_ids
             sparse_ids = unpack_ids(id_words, wire.num_sparse,
                                     wire.bits)
             gids = fc.global_ids(sparse_ids)
@@ -110,10 +109,7 @@ class WireScorer:
 
     def pack(self, dense: np.ndarray, sparse_ids: np.ndarray):
         """Host-side request packing -> (qdense, scale, id_words)."""
-        from rec_now_tpu.training.wire import pack_ids
-        q, scale = self.wire._pack_dense(np.asarray(dense), 1)
-        words = pack_ids(np.asarray(sparse_ids), self.wire.bits)
-        return q, scale, words
+        return self.wire.pack_request(dense, sparse_ids)
 
     def __call__(self, state, dense, sparse_ids) -> jnp.ndarray:
         return self.score_packed(state, *self.pack(dense, sparse_ids))

@@ -19,8 +19,10 @@ fast producer cannot run the host out of memory.
 from __future__ import annotations
 
 import atexit
+import logging
 import queue
 import threading
+import time
 import weakref
 from typing import Callable, Iterable, Iterator, Optional
 
@@ -108,17 +110,15 @@ class DevicePrefetcher:
         closed parse stage) wakes up and terminates instead of
         deadlocking on the stolen sentinel.
         """
-        import time as _time
         self._stop.set()
-        deadline = _time.monotonic() + timeout
-        while self._thread.is_alive() and _time.monotonic() < deadline:
+        deadline = time.monotonic() + timeout
+        while self._thread.is_alive() and time.monotonic() < deadline:
             try:
                 self._q.get(timeout=0.05)   # unblocks a full-queue put
             except queue.Empty:
                 pass
         self._thread.join(timeout=0.2)
         if self._thread.is_alive():
-            import logging
             logging.getLogger(__name__).warning(
                 "prefetch worker %s did not exit within %.1f s (likely "
                 "blocked in a device transfer); leaking daemon thread",

@@ -516,7 +516,7 @@ class Trainer:
             raise ValueError(
                 "uint16 group wire needs global batch <= 65536; "
                 f"got {local_b * nproc}")
-        if self.mesh.size % nproc or self.mesh.size < nproc:
+        if self.mesh.size % nproc:   # also catches mesh.size < nproc
             raise ValueError(
                 f"mesh size {self.mesh.size} must be a multiple of the "
                 f"process count {nproc}")
@@ -781,10 +781,9 @@ class Trainer:
             # reduce (2G, K) -> (3, G) ON DEVICE: the host fetch is
             # O(G), not the ~100 MB full histogram (seconds over a
             # thin host link)
-            finish = jax.jit(DeviceGroupedAUC.finish)
-            aux0 = finish(aux0)
+            aux0 = _jit_gauc_finish(aux0)
             if self.cfg.num_tasks > 1:
-                aux1 = finish(aux1)
+                aux1 = _jit_gauc_finish(aux1)
         hist, cvr_hist, aux0, aux1 = jax.device_get(
             (d_hist, d_cvr, aux0, aux1))
         result = {
@@ -809,3 +808,7 @@ class Trainer:
                 result["cvr_gauc"] = DeviceGroupedAUC.gauc_from_stats(
                     aux1)["gauc"]
         return result
+
+
+# cached once: a fresh jax.jit wrapper per eval sweep would retrace
+_jit_gauc_finish = jax.jit(DeviceGroupedAUC.finish)

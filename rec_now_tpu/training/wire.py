@@ -209,6 +209,16 @@ class WireFormat:
         scale = np.stack([lo, step], axis=-2).astype(np.float32)
         return q.astype(np.uint8).reshape(dense.shape), scale
 
+    def pack_request(self, dense: np.ndarray, sparse_ids: np.ndarray,
+                     num_shards: int = 1):
+        """Pack a label-free scoring request -> (qdense, scale, words).
+
+        The serving subset of the wire (serving.WireScorer): dense +
+        ids only, affine per request batch.
+        """
+        q, scale = self._pack_dense(np.asarray(dense), num_shards)
+        return q, scale, pack_ids(np.asarray(sparse_ids), self.bits)
+
     def pack(self, batch: Batch,
              num_shards: Optional[int] = None) -> PackedBatch:
         """Compress one host batch (arbitrary leading axes).
