@@ -77,10 +77,11 @@ def main(argv=None):
                         "bucketed AUC + corpus GAUC from per-group "
                         "score histograms -- no per-example host "
                         "traffic, use for wide held-out sweeps")
-    p.add_argument("--eval-group-slots", type=int, default=8192,
+    p.add_argument("--eval-group-slots", type=int, default=0,
                    help="device-eval corpus-GAUC group slots; grouping "
                         "is exact while distinct eval groups < "
-                        "slots - slots/8 (raise for wide id spaces)")
+                        "slots - slots/8.  0 (default) auto-sizes "
+                        "from --num-groups (capped at 65536)")
     p.add_argument("--eval-group-buckets", type=int, default=512,
                    help="device-eval per-group score buckets (GAUC "
                         "tie error ~ O(1/buckets))")
@@ -199,9 +200,17 @@ def main(argv=None):
     state = trainer.init(jax.random.PRNGKey(args.seed), first)
 
     if args.eval_mode == "device":
+        slots = args.eval_group_slots
+        if not slots:
+            # exact dict mapping needs distinct groups < slots - slots/8;
+            # --num-groups bounds the group-id space for the file path
+            # and the synthetic stream's user count is its analogue
+            import math
+            want = max(args.num_groups, 1024) * 8 // 7 + 1
+            slots = min(0x10000, 1 << math.ceil(math.log2(want)))
         eval_fn = functools.partial(
             trainer.evaluate_device,
-            num_group_slots=args.eval_group_slots,
+            num_group_slots=slots,
             group_buckets=args.eval_group_buckets)
     else:
         eval_fn = trainer.evaluate

@@ -736,6 +736,8 @@ class Trainer:
                 num_buckets, gauc, group_buckets)
             self._eval_many_key = key
         batches = list(batches)
+        if not batches:
+            raise ValueError("evaluate_device needs at least one batch")
         indexer = None
         if corpus:
             indexer = CorpusGroupIndexer(
