@@ -83,3 +83,12 @@ class TestServing:
         logits = scorer(state, dense, ids)
         assert logits.shape == (64,)
         assert np.all(np.isfinite(np.asarray(logits)))
+        # wire-fed scoring must route the second (CAN) table too: ids
+        # are exactly preserved, so f16 wire on f16-exact dense is
+        # bit-identical
+        b2 = batch._replace(
+            dense=batch.dense.astype(np.float16).astype(np.float32))
+        raw2 = scorer(state, jnp.asarray(b2.dense),
+                      jnp.asarray(b2.sparse_ids))
+        out2 = WireScorer(trainer)(state, b2.dense, b2.sparse_ids)
+        np.testing.assert_array_equal(np.asarray(out2), np.asarray(raw2))
