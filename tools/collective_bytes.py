@@ -72,7 +72,7 @@ def main():
     print("\n# measured virtual-mesh step times (CPU, compute-noisy; "
           "payload model above is the scaling evidence)")
     rng = np.random.default_rng(0)
-    for n in (1, 2, 4, 8):
+    for n in (1, 2, 4, 8, 16):
         if len(jax.devices()) < n:
             break
         mesh = make_mesh(n)
