@@ -11,7 +11,6 @@ per task/layer), U per-layer out-dim.
 """
 from __future__ import annotations
 
-import copy
 from typing import Any, List, Sequence, Union
 
 import jax
@@ -28,14 +27,15 @@ def _extend_int_list(list_or_int: Union[int, List[int]],
 
     Reference: ple_layer.py:52-80.
     """
-    if not isinstance(list_or_int, (int, list)):
+    # tuples included: flax freezes nn.Module list attributes to tuples
+    if not isinstance(list_or_int, (int, list, tuple)):
         raise TypeError("`list_or_int` must be of type `int` or `list of "
                         "int`, but got `%s`" % type(list_or_int))
     if isinstance(list_or_int, int):
         list_or_int = [list_or_int]
     if not list_or_int:
         raise ValueError("list can not be empty")
-    list_or_int = copy.copy(list_or_int)
+    list_or_int = list(list_or_int)
     while len(list_or_int) < size_extend:
         list_or_int.append(list_or_int[-1])
     return list_or_int

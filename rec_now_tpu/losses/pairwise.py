@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import functools
 import inspect
+import warnings
 from typing import Callable, Optional, Sequence, Union
 
 import jax
@@ -53,26 +54,35 @@ def _as_vec(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.reshape(x, (-1,))
 
 
-def _blocked_capable(fn: Callable) -> bool:
+def _blocked_capable(fn: Callable) -> Optional[bool]:
     """Whether a pair-loss callable satisfies the blocked-tile contract.
 
     The O(block * B) scan form evaluates the callable once per tile as
     ``fn(pos, neg, w, pair_mask=m, reduce_mean=False)`` and sums tile
     results, so the callable must (a) accept those two keywords and
-    (b) be elementwise in (pos, neg, w) — (a) is checkable, (b) is the
-    documented contract (:func:`bpr_loss_func` satisfies both).
-    Callables without the keywords fall back to the dense (B, B) path,
-    which materializes ~B*B*4-byte slabs — avoid at B >= 4096.
+    (b) be elementwise per pair with a sum-decomposable reduction —
+    (a) is checkable, (b) is not: a callable whose reduction couples
+    pairs across tiles (row-normalized, max-based ...) would silently
+    produce different numbers under tiling.  The authoritative signal
+    is therefore an EXPLICIT opt-in: set ``fn.blocked_capable = True``
+    (or False to force the dense path).  Returns that attribute when
+    present; otherwise falls back to signature sniffing — requiring
+    explicit named ``pair_mask``/``reduce_mean`` parameters (a bare
+    ``**kwargs`` would swallow ``reduce_mean=False`` without honoring
+    it) — and the caller warns once about the inference.
     """
+    declared = getattr(fn, "blocked_capable", None)
+    if isinstance(fn, functools.partial) and declared is None:
+        declared = getattr(fn.func, "blocked_capable", None)
+    if declared is not None:
+        return bool(declared)
     try:
         params = inspect.signature(fn).parameters
     except (TypeError, ValueError):
         return False
-    # require EXPLICIT named parameters: a bare **kwargs would swallow
-    # reduce_mean=False without honoring it, and the blocked path's
-    # tile sums would then be means — silently wrong.  A callable that
-    # declares the names is asserting it implements the contract.
-    return "pair_mask" in params and "reduce_mean" in params
+    if "pair_mask" in params and "reduce_mean" in params:
+        return None          # capable by signature only — caller warns
+    return False
 
 
 def _callable_reduces(fn: Callable) -> bool:
@@ -185,6 +195,12 @@ def bpr_loss_func(outputs_pos: jnp.ndarray,
     if reduce_mean:
         loss = loss / (num + SMALL_POSITIVE_FLOAT)
     return loss
+
+
+# elementwise per pair + sum-decomposable reduction: safe to evaluate
+# per tile in the blocked O(block*B) scan form (the explicit opt-in
+# custom callables should copy — see _blocked_capable)
+bpr_loss_func.blocked_capable = True
 
 
 def occurance_power_weight(group_id: jnp.ndarray,
@@ -332,9 +348,24 @@ def pairwise_loss(outputs: jnp.ndarray,
     # keywords and be elementwise per pair.  Callables without the
     # keywords fall through to the dense path — at B >= 4096 that
     # path lives several ~B^2 x 4-byte slabs in fwd+bwd.
-    if (_as_vec(outputs).shape[0] >= BLOCKED_MIN_BATCH
-            and (pairloss_func is bpr_loss_func
-                 or _blocked_capable(pairloss_func))):
+    capable = (True if pairloss_func is bpr_loss_func
+               else _blocked_capable(pairloss_func))
+    if capable is None:
+        # signature-sniffed only: the callable declares the tile
+        # keywords but never asserted the sum-decomposable contract
+        # (fn.blocked_capable = True).  Route it — the keywords are the
+        # documented opt-in surface — but say so once, because a
+        # non-decomposable reduction would silently change numbers.
+        warnings.warn(
+            "pairwise_loss: routing custom pairloss_func "
+            f"{getattr(pairloss_func, '__name__', pairloss_func)!r} "
+            "through the blocked O(block*B) path because it declares "
+            "pair_mask/reduce_mean keywords; if its reduction is not a "
+            "sum over pairs (e.g. row-normalized or max-based), set "
+            "fn.blocked_capable = False to keep the dense path, or "
+            "True to silence this warning.", stacklevel=2)
+        capable = True
+    if _as_vec(outputs).shape[0] >= BLOCKED_MIN_BATCH and capable:
         from rec_now_tpu.losses.pairwise_blocked import pairwise_loss_blocked
         weight_fn = label_pair_to_weight_func
         if weight_fn is not None and kwargs:

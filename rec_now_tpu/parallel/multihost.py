@@ -24,12 +24,16 @@ process reads/synthesizes its local rows and feeds ``put_local``).
 Checkpointing via training/checkpoint.py is already multi-host-safe
 (Orbax coordinates across processes).
 
-Real multi-process execution cannot be exercised in the single-host dev
-container; the collective layout is validated by the same shard_map
-kernels the virtual 8-device tests cover (process count is transparent
-to XLA collectives), ``put_local`` is bit-identical to ``put`` at
-process_count==1 (tested), and the multi-process assembly shape is
-tested with a mocked process topology.
+Real multi-process execution IS exercised in CI:
+tests/parallel/test_two_process.py spawns two genuine processes that
+form a ``jax.distributed`` CPU cluster (4 forced host devices each ->
+8 global devices, gloo cross-process collectives) and runs the full
+recipe — init, ``put_local`` steps, the packed scan-window loop
+(``put_packed_window_local``), Orbax save/restore — asserting the loss
+sequence matches an identical single-process run on the same global
+data.  The mocked-topology test in tests/parallel/test_multihost.py
+remains as the fast-path contract check; ``put_local`` is additionally
+bit-identical to ``put`` at process_count==1 (tested).
 """
 from __future__ import annotations
 

@@ -116,7 +116,28 @@ class WireScorer:
         return self.score_packed(state, *self.pack(dense, sparse_ids))
 
 
-def export_serving(directory: str, state, trainer) -> None:
+def _check_can_match(trainer, has_can: bool, where: str) -> None:
+    """Descriptive error when CAN-table presence disagrees.
+
+    Without this, restoring a CAN checkpoint with a non-CAN trainer
+    fails deep inside placement with an opaque AttributeError on
+    ``table.table_sharding`` — and the reverse direction (CAN trainer,
+    non-CAN checkpoint) silently produced ``can_table=None`` states
+    whose first lookup crashes (ADVICE r4).
+    """
+    trainer_can = trainer.can_table is not None
+    if trainer_can != has_can:
+        raise ValueError(
+            f"CAN-table mismatch: {where} "
+            f"{'has' if has_can else 'lacks'} a co-action table but the "
+            f"trainer (can_param_field="
+            f"{trainer.cfg.can_param_field!r}) "
+            f"{'expects' if trainer_can else 'does not expect'} one; "
+            "use a trainer whose TrainerConfig.can_param_field matches "
+            "the exported model")
+
+
+def export_serving(directory: str, state, trainer=None) -> None:
     """Save the inference-only subset of a train state.
 
     Drops every optimizer slot (dense opt state, Adagrad accumulator /
@@ -124,8 +145,19 @@ def export_serving(directory: str, state, trainer) -> None:
     bytes of a full training checkpoint, which matters when the table
     dominates (GBs per shard).  Load with :func:`load_serving`; the
     result drives :func:`build_scorer` / :class:`WireScorer` directly.
+
+    Args:
+        directory: checkpoint directory.
+        state: the :class:`TrainState` to strip and save.
+        trainer: optional; when given, the state's table layout is
+            validated against the trainer's before writing (catches
+            exporting a CAN state with a non-CAN trainer and vice
+            versa at save time rather than at load).
     """
     import orbax.checkpoint as ocp
+    if trainer is not None:
+        _check_can_match(trainer, has_can=state.can_table is not None,
+                         where="export_serving(state)")
     payload = {"params": state.params, "table": state.table.table}
     if state.can_table is not None:
         payload["can_table"] = state.can_table.table
@@ -151,6 +183,8 @@ def load_serving(directory: str, trainer):
     payload = ckptr.restore(
         os.path.join(os.path.abspath(directory), "serving"))
     ckptr.close()
+    _check_can_match(trainer, has_can="can_table" in payload,
+                     where="checkpoint payload")
     repl = jax.sharding.NamedSharding(
         trainer.mesh, jax.sharding.PartitionSpec())
     dummy_acc = jnp.zeros((1, 1), jnp.float32)

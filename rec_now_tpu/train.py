@@ -55,6 +55,20 @@ def main(argv=None):
                         "global ids everywhere (small meshes), routed = "
                         "dedup + owner-bucketed all_to_all (payload "
                         "O(b) not O(n*b)), auto = routed when >=4 shards")
+    p.add_argument("--route-strict", action="store_true",
+                   help="raise (at log cadence) when the routed "
+                        "exchange drops ids to double overflow instead "
+                        "of silently losing their gradient update; the "
+                        "sparse_dropped counter appears in every "
+                        "periodic log line either way")
+    p.add_argument("--route-cap-factor", type=float, default=2.0,
+                   help="routed exchange per-owner bucket = this factor "
+                        "x the uniform share (raise for skewed id "
+                        "distributions)")
+    p.add_argument("--route-ov-cap", type=int, default=0,
+                   help="routed exchange overflow-lane length (ids "
+                        "spilling past the per-owner buckets); 0 = "
+                        "b//16 heuristic")
     p.add_argument("--scan-window", type=int, default=0,
                    help="run this many steps per on-device lax.scan "
                         "dispatch (0 = one dispatch per step)")
@@ -137,6 +151,9 @@ def main(argv=None):
         sparse_optimizer=args.sparse_optimizer,
         sparse_update_mode=args.sparse_update_mode,
         sparse_route_mode=args.sparse_route_mode,
+        route_strict=args.route_strict,
+        route_cap_factor=args.route_cap_factor,
+        route_ov_cap=args.route_ov_cap or None,
         wire_dense_mode=args.wire_dense_mode,
         num_tasks=num_tasks)
     mesh = make_mesh()

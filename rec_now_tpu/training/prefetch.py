@@ -19,6 +19,7 @@ fast producer cannot run the host out of memory.
 from __future__ import annotations
 
 import atexit
+import itertools
 import logging
 import queue
 import threading
@@ -35,9 +36,17 @@ _END = object()
 _LIVE: "weakref.WeakSet" = weakref.WeakSet()
 
 
+_SEQ = itertools.count()
+
+
 @atexit.register
 def _shutdown_all_prefetchers() -> None:
-    for p in list(_LIVE):
+    # creation order, NOT WeakSet order: a WindowPrefetcher's inner
+    # worker blocks in get() on the parse stage's queue, so the parse
+    # stage (created first) must close first — its _END sentinel wakes
+    # the inner worker; the reverse order spins each inner drain loop
+    # for the full close() timeout before leaking the thread (ADVICE r4)
+    for p in sorted(_LIVE, key=lambda p: getattr(p, "_seq", 0)):
         try:
             p.close()
         except Exception:
@@ -83,6 +92,7 @@ class DevicePrefetcher:
             finally:
                 self._q.put(_END)
 
+        self._seq = next(_SEQ)
         self._thread = threading.Thread(target=worker, daemon=True,
                                         name="rec_now_tpu-prefetch")
         self._thread.start()

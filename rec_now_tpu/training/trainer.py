@@ -66,6 +66,11 @@ class TrainerConfig:
     # need adversarially skewed ids (exchange.py:20-24) and training
     # degrades gracefully (dropped ids lose one gradient update)
     route_strict: bool = False
+    # routed-exchange bucket sizing (forwarded to ShardedEmbeddingTable):
+    # per-owner bucket = cap_factor x the uniform share; ov_cap bounds
+    # the all-gather overflow lane (None = b//16 heuristic)
+    route_cap_factor: float = 2.0
+    route_ov_cap: Optional[int] = None
     num_tasks: int = 1          # >1: multi-task (CTR + CVR) heads
     # CAN co-action (benchmark config #5): when set, a second sharded
     # table holds per-item co-action DNN parameters, looked up by this
@@ -110,7 +115,9 @@ class Trainer:
             dim=feature_config.embedding_dim, mesh=self.mesh,
             optimizer=config.sparse_optimizer,
             update_mode=config.sparse_update_mode,
-            route_mode=config.sparse_route_mode)
+            route_mode=config.sparse_route_mode,
+            route_cap_factor=config.route_cap_factor,
+            route_ov_cap=config.route_ov_cap)
         self.can_table = None
         if config.can_param_field is not None:
             from rec_now_tpu.models.can_dcn_model import CANDCNModel
@@ -124,7 +131,9 @@ class Trainer:
                 mesh=self.mesh, initializer_scale=0.05,
                 optimizer=config.sparse_optimizer,
                 update_mode=config.sparse_update_mode,
-                route_mode=config.sparse_route_mode)
+                route_mode=config.sparse_route_mode,
+                route_cap_factor=config.route_cap_factor,
+                route_ov_cap=config.route_ov_cap)
         self.tx = optax.adam(config.dense_lr)
         # pass the per-sample domain only to models that route on it
         # (MultiTaskModel's STAR towers); single-task towers don't take it
@@ -512,10 +521,14 @@ class Trainer:
         nproc = jax.process_count()
         batches = list(batches)
         local_b = int(np.asarray(batches[0].labels).shape[-1])
-        if local_b * nproc > 0x10000:
+        if not raw_groups and local_b * nproc > 0x10000:
+            # only the in-batch remap packs batch positions into the
+            # uint16 group field; raw (corpus-slot) groups are already
+            # < num_group_slots <= 65536 at any batch size, so
+            # large-batch multi-host device eval stays legal
             raise ValueError(
-                "uint16 group wire needs global batch <= 65536; "
-                f"got {local_b * nproc}")
+                "uint16 group wire needs global batch <= 65536 for the "
+                f"in-batch group remap; got {local_b * nproc}")
         if self.mesh.size % nproc:   # also catches mesh.size < nproc
             raise ValueError(
                 f"mesh size {self.mesh.size} must be a multiple of the "

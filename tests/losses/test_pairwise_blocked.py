@@ -182,9 +182,10 @@ class TestCustomPairlossBlocked:
         assert np.isfinite(float(out))
 
     def test_blocked_capable_contract(self):
-        """Only EXPLICIT pair_mask + reduce_mean parameters qualify —
-        a bare **kwargs would swallow reduce_mean without honoring it
-        and the tile sums would silently become means (review r4)."""
+        """fn.blocked_capable is authoritative; signature-only matches
+        return None (capable-with-warning); a bare **kwargs would
+        swallow reduce_mean without honoring it and the tile sums would
+        silently become means (review r4/r5)."""
         from rec_now_tpu.losses.pairwise import _blocked_capable
 
         def explicit(pos, neg, w, pair_mask=None, reduce_mean=True):
@@ -196,12 +197,55 @@ class TestCustomPairlossBlocked:
         def bare(pos, neg, w):
             return jnp.zeros(())
 
-        assert _blocked_capable(explicit)
-        assert not _blocked_capable(swallows)
-        assert not _blocked_capable(bare)
+        def opted_in(pos, neg, w, pair_mask=None, reduce_mean=True):
+            return jnp.zeros(())
+        opted_in.blocked_capable = True
+
+        def opted_out(pos, neg, w, pair_mask=None, reduce_mean=True):
+            return jnp.zeros(())
+        opted_out.blocked_capable = False
+
+        assert _blocked_capable(explicit) is None   # sniffed -> warn
+        assert _blocked_capable(swallows) is False
+        assert _blocked_capable(bare) is False
+        assert _blocked_capable(opted_in) is True
+        assert _blocked_capable(opted_out) is False
         import functools
+        # partial inherits the wrapped fn's declaration
         assert _blocked_capable(
-            functools.partial(explicit, reduce_mean=False))
+            functools.partial(opted_in, reduce_mean=False)) is True
+        from rec_now_tpu.losses.pairwise import bpr_loss_func
+        assert _blocked_capable(
+            functools.partial(bpr_loss_func, factor=2.0)) is True
+
+    def test_sniffed_callable_warns_once_and_routes_blocked(self):
+        """A signature-only capable callable at B >= threshold routes
+        blocked WITH a warning; declaring blocked_capable silences it
+        (ADVICE r4 medium)."""
+        import warnings as _w
+        from rec_now_tpu.losses import pairwise as pw
+        o, l, g = _mk(pw.BLOCKED_MIN_BATCH, seed=21)
+
+        def sniffed(pos, neg, w, pair_mask=None, reduce_mean=True):
+            m = (pair_mask.astype(jnp.float32) if pair_mask is not None
+                 else jnp.ones_like(pos))
+            s = jnp.sum(jax.nn.softplus(-(pos - neg)) * m)
+            return s / (jnp.sum(m) + 1e-10) if reduce_mean else s
+
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            out = pw.pairwise_loss(o, l, g, pairloss_func=sniffed,
+                                   use_pallas=False)
+        assert np.isfinite(float(out))
+        assert any("blocked" in str(w.message) for w in rec)
+
+        sniffed.blocked_capable = True
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            out2 = pw.pairwise_loss(o, l, g, pairloss_func=sniffed,
+                                    use_pallas=False)
+        assert not rec
+        np.testing.assert_allclose(float(out), float(out2), rtol=1e-6)
 
     def test_partial_bpr_reduce_false_routes_blocked_sum(self):
         """The trainer's partial(bpr, reduce_mean=False) contract:
