@@ -58,85 +58,69 @@ def _tile_rows(g_rows, g_cols, lab_cols, x_cols, i0, pos_neg_th):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def listwise_loss_sum(logits, labels, groups, pos_neg_th: float = 0.5):
     """(sum of valid anchor rows' softmax-CE, valid-row count)."""
-    return _lw_fwd_impl(logits, labels, groups, pos_neg_th)
+    loss, cnt, _ = _lw_fused_impl(logits, labels, groups, pos_neg_th)
+    return loss, cnt
 
 
-def _lw_fwd_impl(logits, labels, groups, pos_neg_th):
+def _lw_fused_impl(logits, labels, groups, pos_neg_th):
+    """ONE O(B^2) sweep: loss sum, valid count AND d/d logits.
+
+    The r4 layout ran separate fwd and bwd sweeps that both rebuild the
+    identical membership/softmax tile; emitting the column-accumulated
+    gradient from the forward halves the listwise O(B^2) work (same
+    fusion as pairwise_kernel._pair_loss_fused_impl).
+    """
     b = logits.shape[0]
     tile = _row_tile(b)
 
-    def kernel(gr, xf, lf, gf, loss_ref, cnt_ref):
-        step = pl.program_id(0)
-        i0 = step * tile
-        valid, p, z = _tile_rows(gr[0, 0], gf[0], lf[0], xf[0], i0,
-                                 pos_neg_th)
-        zmax = jnp.max(z, axis=1, keepdims=True)
-        lse = jnp.log(jnp.sum(jnp.exp(z - zmax), axis=1,
-                              keepdims=True)) + zmax       # (R, 1)
-        ce = lse - jnp.sum(p * z, axis=1, keepdims=True)   # (R, 1)
-        vf = valid.astype(jnp.float32)                     # (R, 1)
-
-        @pl.when(step == 0)
-        def _():
-            loss_ref[0, 0] = 0.0
-            cnt_ref[0, 0] = 0.0
-        loss_ref[0, 0] += jnp.sum(ce * vf)
-        cnt_ref[0, 0] += jnp.sum(vf)
-
-    loss, cnt = pl.pallas_call(
-        kernel,
-        grid=(b // tile,),
-        in_specs=[_blocked(tile)] + [_full(b)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2,
-        interpret=_interpret(),
-    )(_rows2d(groups.astype(jnp.int32), tile),
-      _cols2d(logits.astype(jnp.float32)),
-      _cols2d(labels.astype(jnp.float32)),
-      _cols2d(groups.astype(jnp.int32)))
-    return loss[0, 0], cnt[0, 0]
-
-
-def _lw_fwd(logits, labels, groups, pos_neg_th):
-    out = _lw_fwd_impl(logits, labels, groups, pos_neg_th)
-    return out, (logits, labels, groups)
-
-
-def _lw_bwd(pos_neg_th, residuals, cotangents):
-    logits, labels, groups = residuals
-    g_loss, _ = cotangents
-    b = logits.shape[0]
-    tile = _row_tile(b)
-
-    def kernel(gr, xf, lf, gf, dcol_ref):
+    def kernel(gr, xf, lf, gf, loss_ref, cnt_ref, dcol_ref):
         step = pl.program_id(0)
         i0 = step * tile
         valid, p, z = _tile_rows(gr[0, 0], gf[0], lf[0], xf[0], i0,
                                  pos_neg_th)
         zmax = jnp.max(z, axis=1, keepdims=True)
         ez = jnp.exp(z - zmax)
-        soft = ez / jnp.sum(ez, axis=1, keepdims=True)     # (R, B)
+        sez = jnp.sum(ez, axis=1, keepdims=True)           # (R, 1)
+        lse = jnp.log(sez) + zmax                          # (R, 1)
+        ce = lse - jnp.sum(p * z, axis=1, keepdims=True)   # (R, 1)
+        soft = ez / sez                                    # (R, B)
         vf = valid.astype(jnp.float32)                     # (R, 1)
 
         @pl.when(step == 0)
         def _():
+            loss_ref[0, 0] = 0.0
+            cnt_ref[0, 0] = 0.0
             dcol_ref[...] = jnp.zeros_like(dcol_ref)
+        loss_ref[0, 0] += jnp.sum(ce * vf)
+        cnt_ref[0, 0] += jnp.sum(vf)
         dcol_ref[...] += jnp.sum((soft - p) * vf, axis=0,
                                  keepdims=True)            # (1, B)
 
-    dcol = pl.pallas_call(
+    loss, cnt, dcol = pl.pallas_call(
         kernel,
         grid=(b // tile,),
         in_specs=[_blocked(tile)] + [_full(b)] * 3,
-        out_specs=_full(b),
-        out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [_full(b)],
+        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((1, b), jnp.float32)],
         interpret=_interpret(),
     )(_rows2d(groups.astype(jnp.int32), tile),
       _cols2d(logits.astype(jnp.float32)),
       _cols2d(labels.astype(jnp.float32)),
       _cols2d(groups.astype(jnp.int32)))
-    dx = dcol.reshape(b) * g_loss
-    return (dx.astype(logits.dtype), None, None)
+    return loss[0, 0], cnt[0, 0], dcol.reshape(b)
+
+
+def _lw_fwd(logits, labels, groups, pos_neg_th):
+    loss, cnt, dx = _lw_fused_impl(logits, labels, groups, pos_neg_th)
+    return (loss, cnt), (dx.astype(logits.dtype),)
+
+
+def _lw_bwd(pos_neg_th, residuals, cotangents):
+    (dx,) = residuals
+    g_loss, _ = cotangents
+    return (dx * g_loss, None, None)
 
 
 listwise_loss_sum.defvjp(_lw_fwd, _lw_bwd)

@@ -57,6 +57,12 @@ def _interpret() -> bool:
 def _row_tile(b: int) -> int:
     # several (TILE, B) f32 intermediates coexist in VMEM (mask, diff,
     # losses, products + input double-buffering); keep each slab <= 2MB
+    # (tile 64 at B=8192).  A/B'd against 32/128 on the v5e
+    # (tools/probe_pairwise_fused.py --tiles, BASELINE.md r5): 64 wins.
+    import os
+    forced = os.environ.get("REC_NOW_PAIRWISE_TILE")
+    if forced and b % int(forced) == 0:
+        return int(forced)
     for t in (256, 128, 64, 32, 16, 8):
         if b % t == 0 and t * b * 4 <= 2 * 1024 * 1024:
             return t
@@ -186,13 +192,53 @@ def same_group_matvec(groups, vec):
     return out.reshape(b)
 
 
+def group_pair_counts_binary(groups, labels, sample_mask):
+    """(B,) valid pairs in row i's group — ONE O(B^2) sweep.
+
+    Binary-label closed form of the counts->matvec composition: with
+    labels in {0, 1} and the default ``label_k > label_j`` ordering,
+    the total valid pairs of group g is ``pos(g) * neg(g)`` where
+    pos/neg are the masked positive/negative member counts — so one
+    pass accumulating two same-group matvecs (Σ m·lab and Σ m)
+    replaces :func:`pair_row_counts` + :func:`same_group_matvec`
+    (2 sweeps -> 1; the k != j exclusion is automatic since
+    ``lab_k > lab_j`` is never true for k == j).  Requires a SINGLE
+    group condition (the derivation uses equality transitivity) and no
+    wrong-order filter; losses dispatch here only when the caller
+    declares ``binary_labels=True``.
+    """
+    b = groups.shape[0]
+    tile = _row_tile(b)
+
+    def kernel(gr, gf, lf, mf, out_ref):
+        same = (gr[0, 0][:, None] == gf[0][None, :]).astype(jnp.float32)
+        mlab = (mf[0] * lf[0])[None, :]
+        pos = jnp.sum(same * mlab, axis=1)
+        tot = jnp.sum(same * mf[0][None, :], axis=1)
+        out_ref[0, 0, :] = pos * (tot - pos)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b // tile,),
+        in_specs=[_blocked(tile), _full(b), _full(b), _full(b)],
+        out_specs=_blocked(tile),
+        out_shape=jax.ShapeDtypeStruct((b // tile, 1, tile), jnp.float32),
+        interpret=_interpret(),
+    )(_rows2d(groups.astype(jnp.int32), tile),
+      _cols2d(groups.astype(jnp.int32)),
+      _cols2d(labels.astype(jnp.float32)),
+      _cols2d(sample_mask.astype(jnp.float32)))
+    return out.reshape(b)
+
+
 # --------------------------------------------------------------------------
 # loss sum with custom VJP
 # --------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def pair_loss_sum(logits, labels, groups, row_weights, sample_mask,
-                  factor: float = 1.0, wrong_order: bool = False):
+                  factor: float = 1.0, wrong_order: bool = False,
+                  occurrence_power: float = 0.0):
     """(sum of weighted BPR pair losses, pair count).
 
     Args:
@@ -204,22 +250,47 @@ def pair_loss_sum(logits, labels, groups, row_weights, sample_mask,
         sample_mask: (B,) 0/1 validity, or all-ones.
         factor: inverse temperature on the logit gap.
         wrong_order: keep only pairs scored in the wrong order.
+        occurrence_power: when nonzero, compute the occurrence weight
+            ``(pairs in row's group) ** power`` IN-KERNEL via the
+            binary-label closed form ``pos(g) * neg(g)`` and multiply
+            it on top of ``row_weights`` — valid only for labels in
+            {0, 1}, a single group condition and no wrong-order filter
+            (callers dispatch; :func:`group_pair_counts_binary` is the
+            standalone form of the same identity).
 
     Returns:
         (loss_sum, n_pair) — both scalars; gradients flow to ``logits``
         only (weights/masks are treated as constants, matching the
         reference's stop_gradient semantics).
     """
-    return _pair_loss_fwd_impl(logits, labels, groups, row_weights,
-                               sample_mask, factor, wrong_order)
+    loss, cnt, _ = _pair_loss_fused_impl(logits, labels, groups,
+                                         row_weights, sample_mask,
+                                         factor, wrong_order,
+                                         occurrence_power)
+    return loss, cnt
 
 
-def _pair_loss_fwd_impl(logits, labels, groups, row_weights, sample_mask,
-                        factor, wrong_order):
+def _pair_loss_fused_impl(logits, labels, groups, row_weights,
+                          sample_mask, factor, wrong_order,
+                          occurrence_power=0.0):
+    """ONE O(B^2) sweep producing loss sum, pair count AND d/d logits.
+
+    The r4 layout ran separate fwd and bwd sweeps; both recompute the
+    identical mask/diff tile, so emitting the input gradient from the
+    forward pass halves the O(B^2) work of the train step (VERDICT r4
+    next #6).  The bwd rule then just scales the stashed gradient.
+    With ``occurrence_power`` the binary-closed-form group pair count
+    is also computed per row tile from the SAME same-group products —
+    the full occurrence-weighted loss in a single sweep (the r4 layout
+    took four).
+    """
     b = logits.shape[0]
     tile = _row_tile(b)
     glist = _as_group_tuple(groups)
     ng = len(glist)
+    if occurrence_power != 0.0 and (ng != 1 or wrong_order):
+        raise ValueError("in-kernel occurrence weighting needs a single "
+                         "group condition and no wrong-order filter")
 
     def kernel(*refs):
         xr, lr_ = refs[:2]
@@ -229,82 +300,42 @@ def _pair_loss_fwd_impl(logits, labels, groups, row_weights, sample_mask,
         xf, lf = refs[4 + ng:6 + ng]
         gfs = refs[6 + ng:6 + 2 * ng]
         mf = refs[6 + 2 * ng]
-        loss_ref, cnt_ref = refs[-2], refs[-1]
+        loss_ref, cnt_ref, drow_ref, dcol_ref = refs[-4:]
         step = pl.program_id(0)
         i0 = step * tile
         mask = _tile_mask([g[0, 0] for g in grs], [g[0] for g in gfs],
                           lr_[0, 0], lf[0], mr[0, 0], mf[0],
                           xr[0, 0], xf[0], i0, wrong_order, True)
         diff = (xr[0, 0][:, None] - xf[0][None, :]) * factor
+        w_rows = wr[0, 0]
+        if occurrence_power != 0.0:
+            # binary closed form per row, from this tile's own columns:
+            # pairs(g_i) = pos(g_i) * neg(g_i)
+            same = (grs[0][0, 0][:, None] == gfs[0][0][None, :]
+                    ).astype(jnp.float32)
+            mlab = (mf[0] * lf[0])[None, :]
+            pos = jnp.sum(same * mlab, axis=1)
+            tot = jnp.sum(same * mf[0][None, :], axis=1)
+            gpc = pos * (tot - pos)
+            w_rows = w_rows * jnp.where(
+                gpc > 0, jnp.exp(occurrence_power * jnp.log(
+                    jnp.maximum(gpc, 1e-30))), 0.0)
+        wm = mask * w_rows[:, None]
         losses = jax.nn.softplus(-diff)
-        tile_loss = jnp.sum(losses * mask * wr[0, 0][:, None])
+        tile_loss = jnp.sum(losses * wm)
         tile_cnt = jnp.sum(mask)
+        # d softplus(-diff) / d diff = -sigmoid(-diff); diff shares the
+        # mask/weight tile with the loss — the whole point of fusing
+        s = (-jax.nn.sigmoid(-diff) * factor) * wm            # (R, B)
+        drow_ref[0, 0, :] = jnp.sum(s, axis=1)
 
         @pl.when(step == 0)
         def _():
             loss_ref[0, 0] = 0.0
             cnt_ref[0, 0] = 0.0
+            dcol_ref[...] = jnp.zeros_like(dcol_ref)
         loss_ref[0, 0] += tile_loss
         cnt_ref[0, 0] += tile_cnt
-
-    rows = ([_rows2d(logits.astype(jnp.float32), tile),
-             _rows2d(labels.astype(jnp.float32), tile)]
-            + [_rows2d(g.astype(jnp.int32), tile) for g in glist]
-            + [_rows2d(row_weights.astype(jnp.float32), tile),
-               _rows2d(sample_mask.astype(jnp.float32), tile)])
-    cols = ([_cols2d(logits.astype(jnp.float32)),
-             _cols2d(labels.astype(jnp.float32))]
-            + [_cols2d(g.astype(jnp.int32)) for g in glist]
-            + [_cols2d(sample_mask.astype(jnp.float32))])
-    loss, cnt = pl.pallas_call(
-        kernel,
-        grid=(b // tile,),
-        in_specs=[_blocked(tile)] * (4 + ng) + [_full(b)] * (3 + ng),
-        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2,
-        interpret=_interpret(),
-    )(*rows, *cols)
-    return loss[0, 0], cnt[0, 0]
-
-
-def _pair_loss_fwd(logits, labels, groups, row_weights, sample_mask,
-                   factor, wrong_order):
-    out = _pair_loss_fwd_impl(logits, labels, groups, row_weights,
-                              sample_mask, factor, wrong_order)
-    return out, (logits, labels, groups, row_weights, sample_mask)
-
-
-def _pair_loss_bwd(factor, wrong_order, residuals, cotangents):
-    logits, labels, groups, row_weights, sample_mask = residuals
-    g_loss, _ = cotangents  # count has no tangent
-    b = logits.shape[0]
-    tile = _row_tile(b)
-    glist = _as_group_tuple(groups)
-    ng = len(glist)
-
-    def kernel(*refs):
-        xr, lr_ = refs[:2]
-        grs = refs[2:2 + ng]
-        wr = refs[2 + ng]
-        mr = refs[3 + ng]
-        xf, lf = refs[4 + ng:6 + ng]
-        gfs = refs[6 + ng:6 + 2 * ng]
-        mf = refs[6 + 2 * ng]
-        drow_ref, dcol_ref = refs[-2], refs[-1]
-        step = pl.program_id(0)
-        i0 = step * tile
-        mask = _tile_mask([g[0, 0] for g in grs], [g[0] for g in gfs],
-                          lr_[0, 0], lf[0], mr[0, 0], mf[0],
-                          xr[0, 0], xf[0], i0, wrong_order, True)
-        diff = (xr[0, 0][:, None] - xf[0][None, :]) * factor
-        # d softplus(-diff) / d diff = -sigmoid(-diff)
-        s = (-jax.nn.sigmoid(-diff) * factor) * mask \
-            * wr[0, 0][:, None]                               # (R, B)
-        drow_ref[0, 0, :] = jnp.sum(s, axis=1)
-
-        @pl.when(step == 0)
-        def _():
-            dcol_ref[...] = jnp.zeros_like(dcol_ref)
         dcol_ref[...] += -jnp.sum(s, axis=0)[None, :]
 
     rows = ([_rows2d(logits.astype(jnp.float32), tile),
@@ -316,17 +347,34 @@ def _pair_loss_bwd(factor, wrong_order, residuals, cotangents):
              _cols2d(labels.astype(jnp.float32))]
             + [_cols2d(g.astype(jnp.int32)) for g in glist]
             + [_cols2d(sample_mask.astype(jnp.float32))])
-    drow, dcol = pl.pallas_call(
+    loss, cnt, drow, dcol = pl.pallas_call(
         kernel,
         grid=(b // tile,),
         in_specs=[_blocked(tile)] * (4 + ng) + [_full(b)] * (3 + ng),
-        out_specs=[_blocked(tile), _full(b)],
-        out_shape=[jax.ShapeDtypeStruct((b // tile, 1, tile), jnp.float32),
-                   jax.ShapeDtypeStruct((1, b), jnp.float32)],
+        out_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [_blocked(tile), _full(b)],
+        out_shape=[jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((b // tile, 1, tile), jnp.float32),
+           jax.ShapeDtypeStruct((1, b), jnp.float32)],
         interpret=_interpret(),
     )(*rows, *cols)
-    dx = (drow.reshape(b) + dcol.reshape(b)) * g_loss
-    return (dx.astype(logits.dtype), None, None, None, None)
+    dx = drow.reshape(b) + dcol.reshape(b)
+    return loss[0, 0], cnt[0, 0], dx
+
+
+def _pair_loss_fwd(logits, labels, groups, row_weights, sample_mask,
+                   factor, wrong_order, occurrence_power):
+    loss, cnt, dx = _pair_loss_fused_impl(
+        logits, labels, groups, row_weights, sample_mask, factor,
+        wrong_order, occurrence_power)
+    return (loss, cnt), (dx.astype(logits.dtype),)
+
+
+def _pair_loss_bwd(factor, wrong_order, occurrence_power, residuals,
+                   cotangents):
+    (dx,) = residuals
+    g_loss, _ = cotangents  # count has no tangent
+    return (dx * g_loss, None, None, None, None)
 
 
 pair_loss_sum.defvjp(_pair_loss_fwd, _pair_loss_bwd)
@@ -342,12 +390,19 @@ def pairwise_loss_pallas(outputs, labels, groups,
                          return_num_pair: bool = False,
                          click_occurance_power: float = 0.0,
                          mask: Optional[jnp.ndarray] = None,
-                         reduce_mean: bool = True):
+                         reduce_mean: bool = True,
+                         binary_labels: bool = False):
     """Reference-semantics pairwise BPR loss, fully kernel-backed.
 
     Covers the default-BPR option subset (one or more AND-combined group
     conditions, default label ordering, optional mask / occurrence power
     / wrong-order); losses/pairwise.py routes here automatically on TPU.
+
+    ``binary_labels=True`` declares labels in {0, 1} (CTR clicks — the
+    trainer's case), enabling the single-sweep occurrence-count closed
+    form (:func:`group_pair_counts_binary`) when a single group
+    condition and no wrong-order filter apply; the declaration is the
+    caller's contract, not checked.
     """
     outputs = jnp.reshape(outputs, (-1,))
     labels = jnp.reshape(labels, (-1,))
@@ -370,23 +425,33 @@ def pairwise_loss_pallas(outputs, labels, groups,
     b = outputs.shape[0]
     ones = jnp.ones((b,), jnp.float32)
 
+    in_kernel_occ = 0.0
     if click_occurance_power != 0.0:
         # the occurrence weights are constants w.r.t. the logits
         # (reference stop_gradient semantics); stop at the kernel inputs
         # so the counts kernels never enter a grad trace.  The occurrence
         # count is keyed on the MAIN (first) group's value (reference
         # :282-291) while the pair validity uses ALL conditions.
-        counts = pair_row_counts(jax.lax.stop_gradient(outputs), labels,
-                                 groups, m, only_use_wrong_order_pair)
-        gpc = same_group_matvec(groups[0], counts)
-        row_w = jnp.where(gpc > 0,
-                          jnp.power(gpc, click_occurance_power), 0.0)
-        row_w = jax.lax.stop_gradient(row_w)
+        if (binary_labels and len(groups) == 1
+                and not only_use_wrong_order_pair):
+            # binary closed form, computed INSIDE the loss sweep: the
+            # whole occurrence-weighted fwd+bwd is one O(B^2) pass
+            in_kernel_occ = click_occurance_power
+            row_w = ones
+        else:
+            counts = pair_row_counts(jax.lax.stop_gradient(outputs),
+                                     labels, groups, m,
+                                     only_use_wrong_order_pair)
+            gpc = same_group_matvec(groups[0], counts)
+            row_w = jnp.where(gpc > 0,
+                              jnp.power(gpc, click_occurance_power), 0.0)
+            row_w = jax.lax.stop_gradient(row_w)
     else:
         row_w = ones
 
     loss_sum, n = pair_loss_sum(outputs, labels, groups, row_w, m,
-                                factor, only_use_wrong_order_pair)
+                                factor, only_use_wrong_order_pair,
+                                in_kernel_occ)
     n = jax.lax.stop_gradient(n)
     loss = loss_sum / (n + 1e-10) if reduce_mean else loss_sum
     if return_num_pair:

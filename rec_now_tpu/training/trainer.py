@@ -265,7 +265,10 @@ class Trainer:
                         logits, labels, groups,
                         factor=cfg.pairwise_factor,
                         click_occurance_power=cfg.click_occurance_power,
-                        return_num_pair=True, reduce_mean=False)
+                        return_num_pair=True, reduce_mean=False,
+                        # trainer labels are clicks in {0, 1}: enables
+                        # the single-sweep occurrence closed form
+                        binary_labels=True)
                 else:
                     pl_sum, n_pair = pairwise_loss(
                         logits, labels, groups,

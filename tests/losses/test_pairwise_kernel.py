@@ -206,3 +206,65 @@ class TestBlockedAutoDispatch:
         monkeypatch.setattr(pw, "BLOCKED_MIN_BATCH", 10 ** 9)
         dense = lw.listwise_loss(g, l, x, use_pallas=False)
         assert float(got) == pytest.approx(float(dense), abs=2e-5)
+
+
+class TestBinaryClosedForm:
+    """The r5 single-sweep occurrence closed form (binary labels)."""
+
+    def test_group_pair_counts_binary_matches_composition(self):
+        from rec_now_tpu.ops.pallas.pairwise_kernel import (
+            group_pair_counts_binary)
+        o, l, g = _mk(48, seed=5)
+        m = jnp.asarray((np.random.RandomState(6).rand(48) > 0.2)
+                        .astype(np.float32))
+        counts = pair_row_counts(o, l, g, sample_mask=m)
+        ref = same_group_matvec(g, counts)
+        got = group_pair_counts_binary(g, l, m)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6)
+
+    @pytest.mark.parametrize("power", [-0.5, 1.0])
+    def test_binary_labels_path_matches_general(self, power):
+        o, l, g = _mk(64, seed=7)
+        kw = dict(click_occurance_power=power, return_num_pair=True,
+                  reduce_mean=False)
+        general = pairwise_loss_pallas(o, l, g, **kw)
+        fast = pairwise_loss_pallas(o, l, g, binary_labels=True, **kw)
+        np.testing.assert_allclose(float(fast[0]), float(general[0]),
+                                   rtol=1e-5)
+        assert float(fast[1]) == float(general[1])
+
+    def test_binary_labels_path_gradients_match(self):
+        o, l, g = _mk(64, seed=8)
+
+        def loss(x, binary):
+            s, n = pairwise_loss_pallas(
+                x, l, g, click_occurance_power=-0.5,
+                return_num_pair=True, reduce_mean=False,
+                binary_labels=binary)
+            return s / (n + 1e-10)
+
+        g_gen = jax.grad(lambda x: loss(x, False))(o)
+        g_fast = jax.grad(lambda x: loss(x, True))(o)
+        np.testing.assert_allclose(np.asarray(g_fast),
+                                   np.asarray(g_gen), rtol=1e-5,
+                                   atol=1e-8)
+
+    def test_multi_group_or_wrong_order_falls_back(self):
+        """binary_labels with multi-condition groups / wrong-order must
+        keep the general (counts+matvec) semantics."""
+        o, l, g = _mk(48, seed=9)
+        g2 = jnp.asarray(np.random.RandomState(10)
+                         .randint(0, 3, 48).astype(np.int32))
+        for kw in ({"groups": [g, g2]},
+                   {"groups": g, "only_use_wrong_order_pair": True}):
+            groups = kw.pop("groups")
+            general = pairwise_loss_pallas(
+                o, l, groups, click_occurance_power=-0.5,
+                return_num_pair=True, reduce_mean=False, **kw)
+            fast = pairwise_loss_pallas(
+                o, l, groups, click_occurance_power=-0.5,
+                return_num_pair=True, reduce_mean=False,
+                binary_labels=True, **kw)
+            np.testing.assert_allclose(float(fast[0]),
+                                       float(general[0]), rtol=1e-6)
