@@ -111,6 +111,20 @@ def test_two_process_training_matches_single_process(tmp_path):
         ref_packed.extend(
             float(x) for x in np.asarray(jax.device_get(mseq["loss"])))
 
+    # exact eval: the 2-process run gathered per-process slices via
+    # process_allgather; must equal the single-process sweep over the
+    # same global rows with the same (restored == post-packed) state
+    eval_batches = make_global_batches(extra=2)[-2:]
+    ref_eval = trainer.evaluate(state, eval_batches)
+    assert r0["eval_auc"] == pytest.approx(ref_eval["auc"], abs=2e-5)
+    assert r0["eval_gauc"] == pytest.approx(ref_eval["gauc"], abs=2e-5)
+    # device sweep on the cluster (hash-assigned corpus slots over the
+    # raw wire): bucketed AUC within histogram error of the exact AUC
+    assert r0["eval_device_auc"] == pytest.approx(r0["eval_auc"],
+                                                  abs=0.01)
+    assert r0["eval_device_gauc"] == pytest.approx(r0["eval_gauc"],
+                                                   abs=0.05)
+
     # process count is transparent: same mesh, same global arrays, same
     # compiled partitioning -> losses agree to float tolerance
     np.testing.assert_allclose(r0["losses"], ref_losses, rtol=2e-5,

@@ -80,6 +80,15 @@ ckpt.wait()
 restored = ckpt.restore(step_saved, target=state)
 ckpt.close()
 
+# both eval paths across the cluster: exact host AUC gathers the
+# per-process label/logit slices (multihost_utils.process_allgather);
+# the device sweep ships hash-assigned corpus slots over the raw wire
+eval_batches = [slice_batch(b, PID, 2)
+                for b in make_global_batches(extra=2)[-2:]]
+exact = trainer.evaluate(restored, eval_batches)
+dev = trainer.evaluate_device(restored, eval_batches, window=2,
+                              num_group_slots=256, group_buckets=128)
+
 # the restored state must continue EXACTLY like the live one
 nxt = slice_batch(make_global_batches(extra=1)[-1], PID, 2)
 _, m_live = trainer.train_step(state, *trainer.put_local(nxt))
@@ -93,4 +102,8 @@ print("RESULT " + json.dumps({
     "packed_losses": packed_losses,
     "loss_live": loss_live,
     "loss_restored": loss_restored,
+    "eval_auc": exact["auc"],
+    "eval_gauc": exact["gauc"],
+    "eval_device_auc": dev["auc"],
+    "eval_device_gauc": dev["gauc"],
 }), flush=True)
