@@ -350,12 +350,15 @@ def pairwise_loss(outputs: jnp.ndarray,
     # path lives several ~B^2 x 4-byte slabs in fwd+bwd.
     capable = (True if pairloss_func is bpr_loss_func
                else _blocked_capable(pairloss_func))
-    if capable is None:
+    route_blocked = (_as_vec(outputs).shape[0] >= BLOCKED_MIN_BATCH
+                     and capable is not False)
+    if route_blocked and capable is None:
         # signature-sniffed only: the callable declares the tile
         # keywords but never asserted the sum-decomposable contract
         # (fn.blocked_capable = True).  Route it — the keywords are the
         # documented opt-in surface — but say so once, because a
         # non-decomposable reduction would silently change numbers.
+        # (No warning below the size gate: the dense path runs there.)
         warnings.warn(
             "pairwise_loss: routing custom pairloss_func "
             f"{getattr(pairloss_func, '__name__', pairloss_func)!r} "
@@ -364,8 +367,7 @@ def pairwise_loss(outputs: jnp.ndarray,
             "sum over pairs (e.g. row-normalized or max-based), set "
             "fn.blocked_capable = False to keep the dense path, or "
             "True to silence this warning.", stacklevel=2)
-        capable = True
-    if _as_vec(outputs).shape[0] >= BLOCKED_MIN_BATCH and capable:
+    if route_blocked:
         from rec_now_tpu.losses.pairwise_blocked import pairwise_loss_blocked
         weight_fn = label_pair_to_weight_func
         if weight_fn is not None and kwargs:

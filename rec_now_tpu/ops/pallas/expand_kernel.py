@@ -50,6 +50,10 @@ def expand_lines(grads: jnp.ndarray, off: jnp.ndarray, *, pack: int,
     Equivalent to ``one_hot(off, pack)[:, :, None] * grads[:, None, :]``
     reshaped to (N, pack*D), in the scatter's preferred layout.
     """
+    if tile % 1024:
+        # same Mosaic constraint as gather_kernel: 1-D s32 blocks below
+        # XLA's T(1024) layout tile fail layout verification
+        raise ValueError("tile must be a multiple of 1024")
     n = grads.shape[0]
     n_pad = -n % tile
     if n_pad:

@@ -86,7 +86,8 @@ def _gather_kernel(pr_smem, off_ref, table_hbm, out_ref, scratch, sems,
     # matrix the bf16x3 decomposition reproduces f32 exactly
     out_ref[:] = jnp.dot(lines * sel, collapse,
                          preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
+                         precision=jax.lax.Precision.HIGHEST
+                         ).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("pack", "dim", "chunk"))
@@ -98,7 +99,11 @@ def packed_gather(table: jnp.ndarray, local_rows: jnp.ndarray,
     Drop-in for the take+select in ``ShardedEmbeddingTable._fetch_rows``
     (fwd only — the engine passes gathered-row grads explicitly, so the
     lookup itself is never differentiated).  ``local_rows`` beyond the
-    table clamp to row 0 (callers mask, matching jnp.take's TPU clamp).
+    table clamp to the last physical row (matching jnp.take's TPU
+    clamp; callers mask such rows out).  NOTE: measured SLOWER than the
+    native gather on v5e (BASELINE.md r5 refutation — per-row DMA issue
+    rate dominates); kept as the measured artifact, not wired into the
+    engine.
     """
     n = local_rows.shape[0]
     n_pad = -n % chunk
@@ -133,5 +138,6 @@ def packed_gather(table: jnp.ndarray, local_rows: jnp.ndarray,
                           dim=dim),
         out_shape=jax.ShapeDtypeStruct((total, dim), table.dtype),
         grid_spec=grid_spec,
+        interpret=jax.default_backend() != "tpu",
     )(pr, off, table)
     return out[:n] if n_pad else out

@@ -120,7 +120,8 @@ def _lw_fwd(logits, labels, groups, pos_neg_th):
 def _lw_bwd(pos_neg_th, residuals, cotangents):
     (dx,) = residuals
     g_loss, _ = cotangents
-    return (dx * g_loss, None, None)
+    # keep the cotangent in the logits dtype (bf16 dx would promote)
+    return ((dx * g_loss).astype(dx.dtype), None, None)
 
 
 listwise_loss_sum.defvjp(_lw_fwd, _lw_bwd)

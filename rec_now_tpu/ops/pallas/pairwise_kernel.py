@@ -61,8 +61,15 @@ def _row_tile(b: int) -> int:
     # (tools/probe_pairwise_fused.py --tiles, BASELINE.md r5): 64 wins.
     import os
     forced = os.environ.get("REC_NOW_PAIRWISE_TILE")
-    if forced and b % int(forced) == 0:
-        return int(forced)
+    if forced:
+        # probing knob, never load-bearing: ignore anything that is not
+        # a positive divisor of b rather than crashing the train step
+        try:
+            t = int(forced)
+        except ValueError:
+            t = 0
+        if t > 0 and b % t == 0:
+            return t
     for t in (256, 128, 64, 32, 16, 8):
         if b % t == 0 and t * b * 4 <= 2 * 1024 * 1024:
             return t
@@ -374,7 +381,9 @@ def _pair_loss_bwd(factor, wrong_order, occurrence_power, residuals,
                    cotangents):
     (dx,) = residuals
     g_loss, _ = cotangents  # count has no tangent
-    return (dx * g_loss, None, None, None, None)
+    # keep the cotangent in the logits dtype: `dx * g_loss` would
+    # promote bf16 dx by the f32 loss cotangent
+    return ((dx * g_loss).astype(dx.dtype), None, None, None, None)
 
 
 pair_loss_sum.defvjp(_pair_loss_fwd, _pair_loss_bwd)

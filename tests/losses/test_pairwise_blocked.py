@@ -247,6 +247,15 @@ class TestCustomPairlossBlocked:
         assert not rec
         np.testing.assert_allclose(float(out), float(out2), rtol=1e-6)
 
+        # below the size gate the DENSE path runs — no routing warning
+        # (review r5: the old placement warned about a route not taken)
+        del sniffed.blocked_capable
+        with _w.catch_warnings(record=True) as rec:
+            _w.simplefilter("always")
+            pw.pairwise_loss(o[:256], l[:256], g[:256],
+                             pairloss_func=sniffed, use_pallas=False)
+        assert not any("blocked" in str(w.message) for w in rec)
+
     def test_partial_bpr_reduce_false_routes_blocked_sum(self):
         """The trainer's partial(bpr, reduce_mean=False) contract:
         pairwise_loss must return the SUM (not mean) through the

@@ -10,11 +10,13 @@ scatter(1.5) + pass(2.7) ~= 4.2 ms from the current ~5.7 ms.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_expand_scatter.py
 """
 import json
-import time
-
+import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo/tools")
+from bench_util import scan_timeit
 
 B, F, D = 8192, 26, 16
 V = 26 * 100_000
@@ -22,19 +24,6 @@ STEPS = 20
 REPS = 3
 
 
-def timeit(name, step_fn, carry0):
-    @jax.jit
-    def run(c0):
-        def body(c, _):
-            return step_fn(c), ()
-        c, _ = jax.lax.scan(body, c0, None, length=STEPS)
-        return jnp.sum(jax.tree_util.tree_leaves(c)[0])
-    float(jax.device_get(run(carry0)))
-    t0 = time.perf_counter()
-    float(jax.device_get(run(carry0)))
-    dt = (time.perf_counter() - t0) / STEPS * 1e3
-    print(f"{name:52s} {dt:8.3f} ms", flush=True)
-    return dt
 
 
 def main():
@@ -84,10 +73,10 @@ def main():
 
     results = {}
     for rep in range(REPS):
-        results.setdefault("xla_expand", []).append(timeit(
+        results.setdefault("xla_expand", []).append(scan_timeit(
             f"[rep {rep}] XLA expand -> scatter -> pass",
             composed_xla, (st.table, st.accumulator, jnp.zeros(()))))
-        results.setdefault("pallas_expand", []).append(timeit(
+        results.setdefault("pallas_expand", []).append(scan_timeit(
             f"[rep {rep}] Pallas expand -> scatter -> pass",
             composed_pallas, (st.table, st.accumulator, jnp.zeros(()))))
     print(json.dumps({k: round(min(v), 3) for k, v in results.items()}))

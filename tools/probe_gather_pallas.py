@@ -9,11 +9,13 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_gather_pallas.py
 """
 import functools
 import json
-import time
-
+import sys
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo/tools")
+from bench_util import scan_timeit
 
 B, F, D = 8192, 26, 16
 V = 26 * 100_000
@@ -21,19 +23,6 @@ STEPS = 20
 REPS = 3
 
 
-def timeit(name, step_fn, carry0):
-    @jax.jit
-    def run(c0):
-        def body(c, _):
-            return step_fn(c), ()
-        c, _ = jax.lax.scan(body, c0, None, length=STEPS)
-        return jnp.sum(jax.tree_util.tree_leaves(c)[-1])
-    float(jax.device_get(run(carry0)))          # compile
-    t0 = time.perf_counter()
-    float(jax.device_get(run(carry0)))
-    dt = (time.perf_counter() - t0) / STEPS * 1e3
-    print(f"{name:46s} {dt:8.3f} ms", flush=True)
-    return dt
 
 
 def main():
@@ -74,11 +63,11 @@ def main():
     results = {}
     for rep in range(REPS):
         results.setdefault("take", []).append(
-            timeit(f"[rep {rep}] jnp.take + one-hot select",
+            scan_timeit(f"[rep {rep}] jnp.take + one-hot select",
                    take_probe, jnp.zeros(())))
         for chunk in (1024, 2048):
             results.setdefault(f"pallas{chunk}", []).append(
-                timeit(f"[rep {rep}] pallas DMA gather chunk={chunk}",
+                scan_timeit(f"[rep {rep}] pallas DMA gather chunk={chunk}",
                        make_pallas_probe(chunk), jnp.zeros(())))
     print(json.dumps({k: round(min(v), 3) for k, v in results.items()}))
 

@@ -13,11 +13,12 @@ import importlib.util
 import json
 import subprocess
 import sys
-import time
-
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+sys.path.insert(0, "/root/repo/tools")
+from bench_util import scan_timeit
 
 B = 8192
 STEPS = 20
@@ -38,19 +39,6 @@ def load_rev_module(rev, path, name):
     return mod
 
 
-def timeit(name, step_fn, carry0):
-    @jax.jit
-    def run(c0):
-        def body(c, _):
-            return step_fn(c), ()
-        c, _ = jax.lax.scan(body, c0, None, length=STEPS)
-        return c
-    float(jax.device_get(run(carry0)))
-    t0 = time.perf_counter()
-    float(jax.device_get(run(carry0)))
-    dt = (time.perf_counter() - t0) / STEPS * 1e3
-    print(f"{name:52s} {dt:8.3f} ms", flush=True)
-    return dt
 
 
 def main():
@@ -92,13 +80,13 @@ def main():
 
     results = {}
     for rep in range(REPS):
-        results.setdefault("r4_split", []).append(timeit(
+        results.setdefault("r4_split", []).append(scan_timeit(
             f"[rep {rep}] r4 split fwd/bwd + counts/matvec",
             make_probe(old_mod, False), jnp.zeros(())))
-        results.setdefault("r5_fused", []).append(timeit(
+        results.setdefault("r5_fused", []).append(scan_timeit(
             f"[rep {rep}] r5 fused fwd+bwd + binary closed form",
             make_probe(new_mod, True), jnp.zeros(())))
-        results.setdefault("r5_fused_general", []).append(timeit(
+        results.setdefault("r5_fused_general", []).append(scan_timeit(
             f"[rep {rep}] r5 fused fwd+bwd, general counts path",
             make_probe(new_mod, False), jnp.zeros(())))
     print(json.dumps({k: round(min(v), 3) for k, v in results.items()}))
