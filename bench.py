@@ -48,7 +48,13 @@ def main():
                       # matches f16 to 1e-5 (BASELINE.md r3), so the
                       # bench measures the production wire setting
                       wire_dense_mode=os.environ.get(
-                          "BENCH_WIRE_DENSE", "u8")),
+                          "BENCH_WIRE_DENSE", "u8"),
+                      # id wire stays bit-packed: the hot8 codec's
+                      # 10.5 B/ex saving measured NET-NEGATIVE on this
+                      # rig (decode-side per-element gathers ~1.9 ms >
+                      # wire saving ~1.3 ms; BASELINE.md r5)
+                      wire_id_mode=os.environ.get(
+                          "BENCH_WIRE_IDS", "packed")),
         mesh=mesh)
     data = SyntheticCriteo(rows_per_field=100_000, num_users=50_000)
 

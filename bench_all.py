@@ -143,7 +143,8 @@ def main():
         # proven to 1e-5 (BASELINE.md r3)
         cfg = dataclasses.replace(
             cfg, wire_dense_mode=os.environ.get(
-                'BENCH_WIRE_DENSE', 'u8'))
+                'BENCH_WIRE_DENSE', 'u8'),
+            wire_id_mode=os.environ.get('BENCH_WIRE_IDS', 'packed'))
         b = ConfigBench(name, model, cfg)
         b.warmup()
         print(f"warm: {name}", flush=True)

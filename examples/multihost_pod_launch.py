@@ -16,7 +16,10 @@ resident corpus-GAUC eval, and Orbax checkpointing all run unchanged
 (checkpointing coordinates across processes internally).
 
 Single-process execution of this file is a smoke test (the dev
-container runs it in tests/parallel/test_examples.py).
+container runs it in tests/parallel/test_examples.py); the multi-
+process leg itself is proven by tests/parallel/test_two_process.py,
+which runs this recipe on a REAL 2-process jax.distributed cluster
+and asserts loss-sequence equality with a single-process run.
 
 Equivalent CLI:
     python -m rec_now_tpu.train --multihost --model dcnv2 \

@@ -81,6 +81,12 @@ def main(argv=None):
                    help="dense-feature wire encoding: f16 (lossless to "
                         "~1e-3) or u8 (per-window affine quantization, "
                         "72 vs 85 B/example)")
+    p.add_argument("--wire-id-mode", choices=("packed", "hot8"),
+                   default="packed",
+                   help="sparse-id wire encoding: packed (bit-packed "
+                        "words) or hot8 (lossless hot-id byte codes + "
+                        "escape stream; ~15% fewer wire bytes on "
+                        "skewed id distributions, single-process only)")
     p.add_argument("--eval-batches", type=int, default=4)
     p.add_argument("--eval-every", type=int, default=0,
                    help="eval cadence in steps (0 = only at the end)")
@@ -155,6 +161,7 @@ def main(argv=None):
         route_cap_factor=args.route_cap_factor,
         route_ov_cap=args.route_ov_cap or None,
         wire_dense_mode=args.wire_dense_mode,
+        wire_id_mode=args.wire_id_mode,
         num_tasks=num_tasks)
     mesh = make_mesh()
     trainer = Trainer(model, fc, cfg, mesh=mesh)

@@ -81,6 +81,10 @@ class TrainerConfig:
     # (per-window per-feature affine; ~15% fewer wire bytes — opt-in,
     # see training/wire.py)
     wire_dense_mode: str = "f16"
+    # wire id compression: 'packed' (bit-packed words) or 'hot8'
+    # (LOSSLESS hot-id byte codes + escape stream for skewed id
+    # distributions; single-process only — see training/wire.py)
+    wire_id_mode: str = "packed"
 
 
 class TrainState(NamedTuple):
@@ -475,10 +479,19 @@ class Trainer:
         relies on.
         """
         if getattr(self, "_wire", None) is None:
+            id_mode = self.cfg.wire_id_mode
+            if id_mode == "hot8" and jax.process_count() > 1:
+                # the hot table is baked into each process's compiled
+                # decode; per-process tables would diverge on a pod
+                import warnings
+                warnings.warn("wire_id_mode='hot8' is single-process "
+                              "only; falling back to 'packed'")
+                id_mode = "packed"
             self._wire = WireFormat(self.fc.num_sparse,
                                     self.fc.rows_per_field,
                                     dense_mode=self.cfg.wire_dense_mode,
-                                    num_shards=self.mesh.size)
+                                    num_shards=self.mesh.size,
+                                    id_mode=id_mode)
         return self._wire
 
     def put_packed_window(self, batches,
@@ -574,8 +587,14 @@ class Trainer:
     def train_many_packed(self, state: TrainState, packed: PackedBatch
                           ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         """Scan a whole pre-transferred packed window on device."""
-        if getattr(self, "_train_many_packed", None) is None:
+        # the hot8 id table is baked into the traced decode as a
+        # constant; a table rebuild (escape-cap overflow) bumps
+        # hot_version and must invalidate the compiled program
+        ver = self.wire.hot_version
+        if (getattr(self, "_train_many_packed", None) is None
+                or getattr(self, "_tmp_wire_ver", None) != ver):
             self._train_many_packed = self._build_train_many_packed()
+            self._tmp_wire_ver = ver
         return self._train_many_packed(state, packed)
 
     def train_pipelined(self, state: TrainState, host_batches,
@@ -746,7 +765,8 @@ class Trainer:
                 "corpus group slots travel the uint16 group wire: "
                 f"num_group_slots must be <= 65536, got {num_group_slots}")
         corpus = gauc == "corpus"
-        key = (num_buckets, gauc, group_buckets if corpus else 0)
+        key = (num_buckets, gauc, group_buckets if corpus else 0,
+               self.wire.hot_version)   # hot8 table baked as constant
         if getattr(self, "_eval_many_key", None) != key:
             self._eval_many_packed = self._build_eval_many_packed(
                 num_buckets, gauc, group_buckets)

@@ -25,10 +25,16 @@ inside the jitted step (a few cheap shifts — VPU noise):
     eval (cross-batch corpus GAUC) reads the raw host batch and never
     goes through this wire.
 
-Standard layout: 85 B/example vs 172 raw (72 with u8 dense) — ~2x more
-examples/s through the same link.  Packing is vectorized numpy (runs on
-the prefetch thread); decoding is traced into the jitted train step so
-the packed form is also what crosses the PCIe/tunnel link.
+Standard layout: 85 B/example vs 172 raw (72 with u8 dense; 61.5 with
+u8 + the hot8 id codec on a zipf stream) — ~2-2.8x more examples/s
+through the same link.  Packing is vectorized numpy (runs on the
+prefetch thread); decoding is traced into the jitted train step so the
+packed form is also what crosses the PCIe/tunnel link.
+
+hot8 sizing note: the host keeps an (F, rows_per_field) u8 inverse
+code map — 2.6 MB at the standard layout, 52 MB at the 2M-row
+production-vocab smoke; linear in the id space (the 2^24 cap bounds it
+at ~420 MB/field-set — prefer 'packed' near that extreme).
 """
 from __future__ import annotations
 
@@ -52,12 +58,20 @@ class PackedBatch(NamedTuple):
     affines through ``jax.make_array_from_process_local_data`` with no
     cross-host coordination.  Under f16 it is a zeros placeholder of
     the same shape (shape-stable jitted decode signature).
+
+    Under ``id_mode='hot8'`` (lossless, opt-in): ``id_words`` carries
+    (..., B, F) uint8 CODES (0..254 = rank in the per-field hot-id
+    table, 255 = escape) and ``esc`` the per-batch-shard escaped raw
+    ids as 3-byte little-endian triples, C-order within the shard,
+    padded to the static cap; under the default ``'packed'`` mode
+    ``esc`` is a (..., shards, 1) placeholder.
     """
     dense: np.ndarray       # (..., B, num_dense) float16 | uint8
     dense_scale: np.ndarray  # (..., shards, 2, num_dense) f32 affine
-    id_words: np.ndarray    # (..., B, num_words) uint32 bit-packed ids
+    id_words: np.ndarray    # (..., B, W) u32 bit-packed | (..., B, F) u8
     group_ids: np.ndarray   # (..., B) uint16 in-batch remapped groups
     flags: np.ndarray       # (..., B) uint8: label | cvr<<1 | domain<<2
+    esc: np.ndarray = np.zeros((), np.uint8)  # (..., shards, cap*3) u8
 
 
 def id_bits(rows_per_field: int) -> int:
@@ -175,12 +189,32 @@ class WireFormat:
             put_packed_window_local).  Tighter per-shard ranges also
             strictly reduce quantization error vs the whole-batch
             affine.
+        id_mode: 'packed' (default — bit-packed u32 words) or 'hot8'
+            (LOSSLESS adaptive codec for skewed id distributions: each
+            field's 255 hottest ids — learned from the first window,
+            relearned on escape-cap overflow — travel as ONE byte; the
+            rest escape to a per-batch-shard 3-byte side stream with a
+            static cap of ``esc_cap_frac`` of the shard's ids,
+            reconstructed on device by a cumsum over the escape mask).
+            On a zipf(1.3) stream the escape rate is ~14%, cutting id
+            bytes from bits/8 * F (56 B at the standard 26x100k
+            layout) to ~F + cap*3 (45.5 B at the default cap).
+            Requires ids < 2^24; single-process only (the hot table is
+            baked into the compiled decode — per-process tables would
+            diverge on a pod slice; Trainer falls back to 'packed'
+            there).
+        esc_cap_frac: hot8 escape capacity as a fraction of each
+            shard's ids per step.
     """
 
     def __init__(self, num_sparse: int, rows_per_field: int,
-                 dense_mode: str = "f16", num_shards: int = 1):
+                 dense_mode: str = "f16", num_shards: int = 1,
+                 id_mode: str = "packed",
+                 esc_cap_frac: float = 0.25):
         if dense_mode not in ("f16", "u8"):
             raise ValueError(f"unknown dense_mode {dense_mode!r}")
+        if id_mode not in ("packed", "hot8"):
+            raise ValueError(f"unknown id_mode {id_mode!r}")
         if num_shards < 1:
             raise ValueError(f"num_shards must be >= 1, got {num_shards}")
         self.num_sparse = num_sparse
@@ -188,6 +222,108 @@ class WireFormat:
         self.words = num_words(num_sparse, self.bits)
         self.dense_mode = dense_mode
         self.num_shards = num_shards
+        self.id_mode = id_mode
+        if id_mode == "hot8" and self.bits > 24:
+            raise ValueError("hot8 escapes are 3-byte: needs "
+                             f"rows_per_field < 2^24, got bits={self.bits}")
+        self.esc_cap_frac = esc_cap_frac
+        self.rows_per_field = rows_per_field
+        # hot8 state: (F, 255) hot ids + (F, rows) inverse code map,
+        # learned lazily; hot_version bumps on every (re)build so jitted
+        # consumers that baked the table as a constant can re-trace
+        self.hot_table: Optional[np.ndarray] = None
+        self._hot_inv: Optional[np.ndarray] = None
+        self.hot_version = 0
+        self.hot_table_rebuilt = False
+
+    # -- hot8 codec --------------------------------------------------------
+    def _esc_cap(self, b: int) -> int:
+        per_shard = b // self.num_shards * self.num_sparse
+        return max(8, int(math.ceil(per_shard * self.esc_cap_frac)))
+
+    def _build_hot_table(self, ids: np.ndarray) -> None:
+        """Learn the per-field top-255 ids from a window of (.., F) ids."""
+        flat = ids.reshape(-1, self.num_sparse)
+        table = np.zeros((self.num_sparse, 255), np.int32)
+        inv = np.full((self.num_sparse, self.rows_per_field), 255,
+                      np.uint8)
+        for f in range(self.num_sparse):
+            counts = np.bincount(flat[:, f],
+                                 minlength=self.rows_per_field)
+            k = min(255, int((counts > 0).sum()))
+            if k:
+                top = np.argpartition(counts, -k)[-k:]
+                top = top[np.argsort(-counts[top], kind="stable")]
+                table[f, :k] = top
+                inv[f, top] = np.arange(k, dtype=np.uint8)
+        self.hot_table = table
+        self._hot_inv = inv
+        self.hot_version += 1
+
+    def _encode_hot(self, ids: np.ndarray):
+        """(..., B, F) ids -> ((..., B, F) u8 codes,
+        (..., shards, cap*3) u8 escape stream).  Relearns the table
+        once when a window overflows the escape cap."""
+        for attempt in (0, 1):
+            if self.hot_table is None:
+                self._build_hot_table(ids)
+            codes = self._hot_inv[
+                np.arange(self.num_sparse)[None, :],
+                ids.reshape(-1, self.num_sparse)].reshape(ids.shape)
+            b = ids.shape[-2]
+            n = self.num_shards
+            cap = self._esc_cap(b)
+            lead = ids.shape[:-2]
+            ids4 = ids.reshape((-1, n, b // n, self.num_sparse))
+            codes4 = codes.reshape(ids4.shape)
+            esc = np.zeros((ids4.shape[0], n, cap, 3), np.uint8)
+            overflow = False
+            for s in range(ids4.shape[0]):
+                for sh in range(n):
+                    vals = ids4[s, sh][codes4[s, sh] == 255]
+                    if len(vals) > cap:
+                        overflow = True
+                        break
+                    v = vals.astype(np.uint32)
+                    esc[s, sh, :len(v), 0] = v & 0xFF
+                    esc[s, sh, :len(v), 1] = (v >> 8) & 0xFF
+                    esc[s, sh, :len(v), 2] = (v >> 16) & 0xFF
+                if overflow:
+                    break
+            if not overflow:
+                return (codes.astype(np.uint8),
+                        esc.reshape(lead + (n, cap * 3)))
+            if attempt == 0:
+                # distribution drifted: relearn from THIS window
+                self._build_hot_table(ids)
+                self.hot_table_rebuilt = True
+            else:
+                raise ValueError(
+                    "hot8 escape stream overflowed its cap even with a "
+                    "table learned from the current window — the id "
+                    "distribution is too flat for hot8; raise "
+                    "esc_cap_frac or use id_mode='packed'")
+
+    def _decode_hot(self, codes: jnp.ndarray,
+                    esc: jnp.ndarray) -> jnp.ndarray:
+        """Device-side hot8 decode (traced; table baked as constant)."""
+        f = self.num_sparse
+        n = self.num_shards
+        lead = codes.shape[:-2]
+        b = codes.shape[-2]
+        table = jnp.asarray(self.hot_table)               # (F, 255)
+        hot = table[jnp.arange(f)[None, :],
+                    jnp.minimum(codes, 254).astype(jnp.int32)]
+        is_esc = codes == 255                             # (..., B, F)
+        flat = is_esc.reshape(lead + (n, b // n * f))
+        rank = jnp.cumsum(flat.astype(jnp.int32), axis=-1) - 1
+        e3 = esc.reshape(lead + (n, -1, 3)).astype(jnp.int32)
+        vals = e3[..., 0] | (e3[..., 1] << 8) | (e3[..., 2] << 16)
+        cap = vals.shape[-1]
+        sel = jnp.take_along_axis(
+            vals, jnp.clip(rank, 0, cap - 1), axis=-1)
+        sel = sel.reshape(lead + (b, f))
+        return jnp.where(is_esc, sel, hot).astype(jnp.int32)
 
     def _pack_dense(self, dense: np.ndarray, shards: int):
         """-> (packed dense, (..., shards, 2, F) f32 scale)."""
@@ -231,12 +367,22 @@ class WireFormat:
         """
         shards = self.num_shards if num_shards is None else num_shards
         d, scale = self._pack_dense(batch.dense, shards)
+        idw, esc = self._pack_sparse(np.asarray(batch.sparse_ids))
         return PackedBatch(
             dense=d, dense_scale=scale,
-            id_words=pack_ids(batch.sparse_ids, self.bits),
+            id_words=idw,
             group_ids=remap_groups(batch.group_ids),
             flags=_pack_flags(batch.labels, batch.cvr_labels,
-                              batch.domain_idx))
+                              batch.domain_idx),
+            esc=esc)
+
+    def _pack_sparse(self, ids: np.ndarray):
+        """(..., B, F) ids -> (id_words, esc) per ``id_mode``."""
+        if self.id_mode == "hot8":
+            return self._encode_hot(ids)
+        lead = ids.shape[:-2]
+        return (pack_ids(ids, self.bits),
+                np.zeros(lead + (self.num_shards, 1), np.uint8))
 
     def pack_window(self, batches: Sequence[Batch],
                     num_shards: Optional[int] = None,
@@ -254,16 +400,18 @@ class WireFormat:
         group_fn = raw_groups_u16 if raw_groups else remap_groups
         d, scale = self._pack_dense(
             np.stack([b.dense for b in batches]), shards)
+        idw, esc = self._pack_sparse(
+            np.stack([b.sparse_ids for b in batches]))
         return PackedBatch(
             dense=d, dense_scale=scale,
-            id_words=pack_ids(
-                np.stack([b.sparse_ids for b in batches]), self.bits),
+            id_words=idw,
             group_ids=group_fn(
                 np.stack([b.group_ids for b in batches])),
             flags=_pack_flags(
                 np.stack([b.labels for b in batches]),
                 np.stack([b.cvr_labels for b in batches]),
-                np.stack([b.domain_idx for b in batches])))
+                np.stack([b.domain_idx for b in batches])),
+            esc=esc)
 
     def decode_dense(self, dense, dense_scale) -> jnp.ndarray:
         """Device-side dense decode (f16 widen / per-shard u8 affine).
@@ -288,7 +436,10 @@ class WireFormat:
         """Device-side decode -> (dense f32, ids i32, labels f32,
         groups i32, cvr f32, domain i32).  Traced inside jit."""
         dense = self.decode_dense(packed.dense, packed.dense_scale)
-        ids = unpack_ids(packed.id_words, self.num_sparse, self.bits)
+        if self.id_mode == "hot8":
+            ids = self._decode_hot(packed.id_words, packed.esc)
+        else:
+            ids = unpack_ids(packed.id_words, self.num_sparse, self.bits)
         flags = packed.flags
         labels = (flags & jnp.uint8(1)).astype(jnp.float32)
         cvr = ((flags >> jnp.uint8(1)) & jnp.uint8(1)).astype(
@@ -300,13 +451,20 @@ class WireFormat:
     @staticmethod
     def wire_cost(num_dense: int, num_sparse: int,
                   rows_per_field: int,
-                  dense_mode: str = "f16") -> Tuple[int, int]:
+                  dense_mode: str = "f16",
+                  id_mode: str = "packed",
+                  esc_cap_frac: float = 0.25) -> Tuple[int, int]:
         """(packed, raw) bytes per example (scale metadata amortizes
         to ~0 over a window and is excluded)."""
         bits = id_bits(rows_per_field)
         per_dense = 2 if dense_mode == "f16" else 1
+        if id_mode == "hot8":
+            id_bytes = num_sparse + math.ceil(
+                num_sparse * esc_cap_frac * 3)
+        else:
+            id_bytes = num_words(num_sparse, bits) * 4
         packed = (num_dense * per_dense
-                  + num_words(num_sparse, bits) * 4
+                  + id_bytes
                   + 2     # group ids u16 (in-batch remap)
                   + 1)    # flags byte: label | cvr | domain
         raw = num_dense * 4 + num_sparse * 4 + 4 + 4 + 4 + 4
