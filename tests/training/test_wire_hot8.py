@@ -98,7 +98,6 @@ class TestHot8Trainer:
         """End-to-end: hot8 window training == packed-mode training
         bit-for-bit (the codec is lossless; everything downstream is
         identical)."""
-        import dataclasses
         import jax
         from rec_now_tpu.models import DCNv2Model, FeatureConfig
         from rec_now_tpu.parallel.mesh import make_mesh

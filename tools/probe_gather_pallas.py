@@ -7,7 +7,6 @@ sessions, so only same-session alternating runs compare.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python tools/probe_gather_pallas.py
 """
-import functools
 import json
 import sys
 import jax
