@@ -592,9 +592,9 @@ class Trainer:
         # hot_version and must invalidate the compiled program
         ver = self.wire.hot_version
         if (getattr(self, "_train_many_packed", None) is None
-                or getattr(self, "_tmp_wire_ver", None) != ver):
+                or getattr(self, "_packed_step_wire_ver", None) != ver):
             self._train_many_packed = self._build_train_many_packed()
-            self._tmp_wire_ver = ver
+            self._packed_step_wire_ver = ver
         return self._train_many_packed(state, packed)
 
     def train_pipelined(self, state: TrainState, host_batches,

@@ -234,7 +234,6 @@ class WireFormat:
         self.hot_table: Optional[np.ndarray] = None
         self._hot_inv: Optional[np.ndarray] = None
         self.hot_version = 0
-        self.hot_table_rebuilt = False
 
     # -- hot8 codec --------------------------------------------------------
     def _esc_cap(self, b: int) -> int:
@@ -296,7 +295,6 @@ class WireFormat:
             if attempt == 0:
                 # distribution drifted: relearn from THIS window
                 self._build_hot_table(ids)
-                self.hot_table_rebuilt = True
             else:
                 raise ValueError(
                     "hot8 escape stream overflowed its cap even with a "
