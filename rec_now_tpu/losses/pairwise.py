@@ -291,6 +291,7 @@ def pairwise_loss(outputs: jnp.ndarray,
                   mask: Optional[jnp.ndarray] = None,
                   label_pair_to_weight_func: Optional[Callable] = None,
                   use_pallas: Optional[bool] = None,
+                  binary_labels: bool = False,
                   **kwargs):
     """In-batch pairwise loss (reference: pairwise_loss_from_batch.py:228).
 
@@ -317,6 +318,11 @@ def pairwise_loss(outputs: jnp.ndarray,
         label_pair_to_weight_func: optional callable mapping the (B, B)
             positive/negative label matrices to a per-pair weight matrix;
             pairs with weight <= 0 are dropped.
+        binary_labels: caller's declaration that labels are in {0, 1}
+            (CTR clicks) — lets the TPU kernel path compute the
+            occurrence weighting in a single O(B^2) sweep
+            (ops/pallas/pairwise_kernel.py); numerically identical,
+            ignored off the kernel path.
 
     Returns:
         Scalar loss (and the pair count if ``return_num_pair``).
@@ -336,7 +342,8 @@ def pairwise_loss(outputs: jnp.ndarray,
             outputs, labels, groups,
             only_use_wrong_order_pair=only_use_wrong_order_pair,
             return_num_pair=return_num_pair,
-            click_occurance_power=click_occurance_power, mask=mask)
+            click_occurance_power=click_occurance_power, mask=mask,
+            binary_labels=binary_labels)
 
     # bounded-memory fallback: option combinations the kernel does not
     # cover (custom label-pair weight fn, custom pair-loss callable)
