@@ -144,8 +144,11 @@ class TestCustomPairlossBlocked:
             return orig(*a, **kw)
 
         monkeypatch.setattr(pb, "pairwise_loss_blocked", spy)
-        out = pw.pairwise_loss(o, l, g, pairloss_func=_huber_pair_loss,
-                               use_pallas=False)
+        # signature-sniffed routing warns once by design (r5)
+        with pytest.warns(UserWarning, match="blocked"):
+            out = pw.pairwise_loss(o, l, g,
+                                   pairloss_func=_huber_pair_loss,
+                                   use_pallas=False)
         assert called["kw"]["pairloss_func"] is _huber_pair_loss
         dense = pw.pairwise_loss(o[:256], l[:256], g[:256],
                                  pairloss_func=_huber_pair_loss,
